@@ -1,0 +1,28 @@
+from .schema import (
+    CHANGE_EVENT_SCHEMA,
+    TARGET_SCHEMA,
+    TARGET_SCHEMA_BASE,
+    HISTORY_SCHEMA,
+    HISTORY_SCHEMA_BASE,
+    LINEAGE_SCHEMA,
+    DEAD_LETTER_SCHEMA,
+    END_OF_TIME,
+)
+from .dedup import lww_reduce, dedup_arrivals
+from .merge import merge_into
+from .pipeline import CdcPipeline
+
+__all__ = [
+    "CHANGE_EVENT_SCHEMA",
+    "TARGET_SCHEMA",
+    "TARGET_SCHEMA_BASE",
+    "HISTORY_SCHEMA",
+    "HISTORY_SCHEMA_BASE",
+    "LINEAGE_SCHEMA",
+    "DEAD_LETTER_SCHEMA",
+    "END_OF_TIME",
+    "lww_reduce",
+    "dedup_arrivals",
+    "merge_into",
+    "CdcPipeline",
+]

@@ -1,0 +1,187 @@
+"""CdcPipeline — the per-batch apply path (the foreachBatch body).
+
+One micro-batch of raw change events goes through (SURVEY.md §3.2
+re-expression):
+
+  1. validation split → dead_letter (T9; parsers.py:114-158 analogue)
+  2. SCHEMA records → additive schema evolution on target+history (C8)
+  3. arrival dedup at (doc_id, lsn) — first delivery wins (W1/T2)
+  4. LWW reduce per doc_id (salted, W2) → bucket-pruned MERGE (C1/C9)
+  5. all versions → SCD2 history append + closure (C5/C6)
+  6. per-partition lineage/metrics row (C10) + dead-letter append
+  7. periodic small-file compaction (north_rule)
+
+Exactly-once: every table commit carries the batch epoch as its
+batch_key inside the atomic snapshot commit (commit manifest, C3).  On
+restart after a crash anywhere in 1-7, the replayed batch skips the
+tables that already recorded the epoch and re-applies the rest —
+each step is idempotent, so the final state is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..table.laketable import LakeTable
+from .dedup import dedup_arrivals, lww_reduce
+from .merge import merge_into
+from .scd2 import apply_history
+from .schema import (
+    DEAD_LETTER_SCHEMA,
+    HISTORY_SCHEMA_BASE,
+    LINEAGE_SCHEMA,
+    TARGET_SCHEMA_BASE,
+    parse_ddl,
+)
+
+VALID_OPS = ("I", "U", "D")
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        n_buckets: int = 16,
+        salt_buckets: int = 16,
+        enable_history: bool = True,
+        collect_metrics: bool = True,
+        compact_every: int = 8,
+        max_files_per_bucket: int = 8,
+        expire_snapshots: bool = False,
+    ):
+        self.spark = spark
+        self.base_dir = os.path.abspath(base_dir)
+        self.salt_buckets = salt_buckets
+        self.enable_history = enable_history
+        self.collect_metrics = collect_metrics
+        self.compact_every = compact_every
+        self.max_files_per_bucket = max_files_per_bucket
+        self.expire_snapshots = expire_snapshots
+        self._batches_applied = 0
+
+        def tbl(name: str, schema, key: str, nb: int) -> LakeTable:
+            path = os.path.join(self.base_dir, name)
+            if LakeTable.exists(path):
+                return LakeTable.load(spark, path)
+            return LakeTable.create(spark, path, schema, key_col=key, n_buckets=nb)
+
+        self.target = tbl("target", TARGET_SCHEMA_BASE, "doc_id", n_buckets)
+        self.history = (
+            tbl("history", HISTORY_SCHEMA_BASE, "doc_id", n_buckets)
+            if enable_history
+            else None
+        )
+        self.lineage = tbl("lineage", LINEAGE_SCHEMA, "batch_id", 1)
+        self.dead_letter = tbl("dead_letter", DEAD_LETTER_SCHEMA, "batch_id", 1)
+
+    # ------------------------------------------------------------------
+    def apply_batch(self, df: DataFrame, batch_id: int) -> dict:
+        """Apply one micro-batch; safe to call again with the same
+        batch_id after a crash (exactly-once via commit manifests)."""
+        bkey = str(batch_id)
+        df = df.persist()
+        try:
+            is_schema = F.col("op") == "SCHEMA"
+            failure = (
+                F.when(F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS), "unknown_op")
+                .when(F.col("doc_id").isNull(), "null_key")
+                .when(F.col("lsn").isNull(), "null_lsn")
+                .when(F.col("op").isin("I", "U") & F.col("tokens").isNull(), "null_payload")
+            )
+
+            # -- 2. additive schema evolution (metadata-only) ----------
+            ddls = [
+                r[0]
+                for r in df.filter(is_schema & F.col("ddl").isNotNull())
+                .select("ddl")
+                .distinct()
+                .collect()
+            ]
+            for ddl in ddls:
+                fields = list(parse_ddl(ddl))
+                self.target.add_columns(fields)
+                if self.history is not None:
+                    self.history.add_columns(fields)
+
+            non_schema = df.filter(~is_schema)
+            events = non_schema.filter(failure.isNull())
+            dead = non_schema.filter(failure.isNotNull())
+
+            # -- 3. arrival dedup --------------------------------------
+            deduped = dedup_arrivals(events).persist()
+
+            # -- 4. LWW reduce + MERGE ---------------------------------
+            stats: dict = {"batch_id": batch_id}
+            if not self.target.has_batch(bkey):
+                reduced = lww_reduce(
+                    deduped, key_col="doc_id", order_col="lsn",
+                    salt_buckets=self.salt_buckets,
+                )
+                stats["merge"] = merge_into(self.target, reduced, batch_id)
+
+            # -- 5. SCD2 history ---------------------------------------
+            if self.history is not None and not self.history.has_batch(bkey):
+                stats["history"] = apply_history(self.history, deduped, batch_id)
+
+            # -- 6. dead letter + lineage ------------------------------
+            if not self.dead_letter.has_batch(bkey):
+                dl = dead.select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    "doc_id",
+                    "lsn",
+                    "op",
+                    F.to_json(F.struct(*[c for c in dead.columns])).alias("raw"),
+                    failure.alias("failure_reason"),
+                    F.current_timestamp().alias("quarantined_at"),
+                )
+                self.dead_letter.append(dl, batch_key=bkey)
+
+            if self.collect_metrics and not self.lineage.has_batch(bkey):
+                per_part = non_schema.groupBy("partition").agg(
+                    F.count("*").alias("_all"),
+                    F.sum(F.when(failure.isNotNull(), 1).otherwise(0)).alias(
+                        "rows_dead_letter"
+                    ),
+                    F.count_distinct(F.col("doc_id"), F.col("lsn")).alias("_distinct"),
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                )
+                lin = per_part.select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.col("partition"),
+                    F.col("_all").cast("long").alias("rows_in"),
+                    (F.col("_all") - F.col("_distinct")).cast("long").alias("rows_deduped"),
+                    F.col("rows_dead_letter").cast("long"),
+                    "min_lsn",
+                    "max_lsn",
+                    F.current_timestamp().alias("applied_at"),
+                )
+                self.lineage.append(lin, batch_key=bkey)
+
+            # -- 7. maintenance ----------------------------------------
+            self._batches_applied += 1
+            if self.compact_every and self._batches_applied % self.compact_every == 0:
+                stats["compacted"] = self.target.compact(self.max_files_per_bucket)
+                if self.history is not None:
+                    self.history.compact(self.max_files_per_bucket)
+                if self.expire_snapshots:
+                    self.target.expire_snapshots(keep_last=2)
+                    if self.history is not None:
+                        self.history.expire_snapshots(keep_last=2)
+
+            deduped.unpersist()
+            return stats
+        finally:
+            df.unpersist()
+
+    # ------------------------------------------------------------------
+    def current_state(self) -> DataFrame:
+        return self.target.refresh().read()
+
+    def history_df(self) -> DataFrame:
+        assert self.history is not None
+        return self.history.refresh().read()

@@ -1,0 +1,396 @@
+"""LakeTable — a minimal ACID lakehouse table format on parquet + JSON metadata.
+
+The target environment has no Iceberg/Delta runtime jar, so the engine
+implements the subset of Iceberg semantics the CDC pipeline needs
+(SURVEY.md §2.10, §4) over public Spark APIs:
+
+* **Atomic snapshot commits** — data files are written first, then a new
+  versioned metadata JSON is published with ``os.replace`` (atomic on
+  POSIX); readers resolve the CURRENT pointer and never observe a
+  partial commit.  Mirrors Iceberg's snapshot + root-pointer protocol.
+* **Hash-bucket partitioning on the merge key** — data lives under
+  ``data/bucket=K/``; a MERGE only reads and rewrites the buckets that
+  contain affected keys (copy-on-write at bucket granularity).  At
+  10^10 rows this is the difference between rewriting gigabytes and
+  rewriting the whole table: per-batch cost is proportional to touched
+  buckets, not table size.  Analogue of the reference's
+  ``partition_by``/``cluster_by`` layout (trades_enriched.sql:6-11).
+* **Additive schema evolution by metadata rewrite** — ``add_columns``
+  touches only the schema in the next metadata version; old parquet
+  files are read through the new schema and surface NULLs for the new
+  columns (north_star: "rewriting Iceberg metadata").  Analogue of the
+  reference's `_extra`/append_new_columns flow (main.py:151-187).
+* **Commit manifests for exactly-once** — ``applied_batches`` is part of
+  the snapshot metadata, so "data applied" and "batch recorded" commit
+  in the same atomic pointer swap.  Analogue of the `_load_id NOT IN`
+  guard (fact_futures_order_event.sql:40-42) and verify-before-delete
+  (validator.py:203-209).
+* **Time travel** — every snapshot is retained; ``read(version=v)``
+  reproduces any historical state (time_travel.sql:22-24 analogue,
+  storage-level).
+* **Small-file compaction** — ``compact()`` rewrites buckets whose file
+  count exceeds a threshold (north_rule: compaction triggered by
+  small-file thresholds), equivalent to Iceberg rewrite_data_files.
+
+Single-writer discipline is assumed (the streaming query's foreachBatch
+is serial); a multi-writer deployment would add optimistic-concurrency
+CAS on the CURRENT pointer exactly as Iceberg catalogs do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+BUCKET_COL = "_bucket"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic bucket id for a key: pmod(xxhash64(key), n_buckets).
+
+    xxhash64 is JVM-side and cheap (SURVEY.md F3); the same expression is
+    used at write and at merge time so bucket pruning is exact.
+    """
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema: StructType
+    n_buckets: int
+    key_col: str
+    files: dict[int, list[str]]  # bucket -> relative parquet paths
+    applied_batches: dict[str, dict[str, Any]]
+    parent: int | None
+    committed_at: str
+
+
+class LakeTable:
+    """A bucketed, snapshot-versioned parquet table with atomic commits."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._meta_dir = os.path.join(self.path, "metadata")
+        self._data_dir = os.path.join(self.path, "data")
+        self._snapshot: Snapshot | None = None
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        key_col: str,
+        n_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        tbl = cls(spark, path)
+        if os.path.exists(tbl._meta_dir):
+            if not overwrite:
+                raise FileExistsError(f"LakeTable already exists at {path}")
+            shutil.rmtree(tbl.path)
+        os.makedirs(tbl._meta_dir, exist_ok=True)
+        os.makedirs(tbl._data_dir, exist_ok=True)
+        meta = {
+            "version": 0,
+            "schema": schema.json(),
+            "n_buckets": n_buckets,
+            "key_col": key_col,
+            "files": {},
+            "applied_batches": {},
+            "parent": None,
+            "committed_at": _utcnow_iso(),
+        }
+        tbl._publish(meta)
+        tbl._snapshot = tbl._load_snapshot(0)
+        return tbl
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        tbl = cls(spark, path)
+        tbl._snapshot = tbl._load_snapshot(tbl.current_version())
+        return tbl
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), "metadata", "CURRENT"))
+
+    # ------------------------------------------------------------------
+    # metadata plumbing
+    # ------------------------------------------------------------------
+    def current_version(self) -> int:
+        with open(os.path.join(self._meta_dir, "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def _load_snapshot(self, version: int) -> Snapshot:
+        with open(os.path.join(self._meta_dir, f"v{version}.json")) as f:
+            m = json.load(f)
+        return Snapshot(
+            version=m["version"],
+            schema=StructType.fromJson(json.loads(m["schema"])),
+            n_buckets=m["n_buckets"],
+            key_col=m["key_col"],
+            files={int(k): v for k, v in m["files"].items()},
+            applied_batches=m["applied_batches"],
+            parent=m["parent"],
+            committed_at=m["committed_at"],
+        )
+
+    def _publish(self, meta: dict[str, Any]) -> None:
+        """Write v{N}.json then atomically swing the CURRENT pointer."""
+        v = meta["version"]
+        mpath = os.path.join(self._meta_dir, f"v{v}.json")
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, mpath)
+        cur = os.path.join(self._meta_dir, "CURRENT")
+        tmp = cur + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, cur)  # atomic on POSIX: commit point
+
+    def refresh(self) -> "LakeTable":
+        self._snapshot = self._load_snapshot(self.current_version())
+        return self
+
+    @property
+    def snapshot(self) -> Snapshot:
+        assert self._snapshot is not None
+        return self._snapshot
+
+    @property
+    def schema(self) -> StructType:
+        return self.snapshot.schema
+
+    @property
+    def version(self) -> int:
+        return self.snapshot.version
+
+    @property
+    def n_buckets(self) -> int:
+        return self.snapshot.n_buckets
+
+    @property
+    def key_col(self) -> str:
+        return self.snapshot.key_col
+
+    def bucket_of(self, key_col: str | None = None):
+        return bucket_expr(key_col or self.key_col, self.n_buckets)
+
+    def has_batch(self, batch_key: str) -> bool:
+        """Exactly-once guard: was this (epoch) batch already committed?"""
+        return str(batch_key) in self.snapshot.applied_batches
+
+    def file_stats(self) -> dict[int, int]:
+        """bucket -> file count (drives the compaction trigger)."""
+        return {b: len(fs) for b, fs in self.snapshot.files.items()}
+
+    # ------------------------------------------------------------------
+    # read
+    # ------------------------------------------------------------------
+    def read(
+        self,
+        buckets: Iterable[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan the table (optionally bucket-pruned / time-travelled).
+
+        Reading through the snapshot schema means files written before a
+        schema evolution surface NULL for the added columns — no file
+        rewrite needed (additive evolution, SURVEY.md C8).
+        """
+        snap = self.snapshot if version is None else self._load_snapshot(version)
+        sel = set(buckets) if buckets is not None else None
+        paths = [
+            os.path.join(self.path, rel)
+            for b, fs in snap.files.items()
+            if sel is None or b in sel
+            for rel in fs
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], snap.schema)
+        return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    # ------------------------------------------------------------------
+    # write / commit
+    # ------------------------------------------------------------------
+    def _write_data_files(self, df: DataFrame) -> dict[int, list[str]]:
+        """Materialise df (bucketed on the key) as parquet; return
+        bucket -> new relative file paths.  Files land in a staging dir
+        first and are renamed into data/ (same-filesystem rename, cheap);
+        they become visible only via the subsequent metadata publish."""
+        for field in self.schema.fields:
+            if field.name not in df.columns:
+                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in self.schema.fields])
+        df = df.withColumn(BUCKET_COL, self.bucket_of())
+
+        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        # repartition by bucket so each bucket's rows coalesce into few
+        # files (one writer task per bucket at sandbox scale; at 100 TB
+        # you'd allow several files per bucket per commit — still fine,
+        # compaction bounds the count).
+        df.repartition(BUCKET_COL).write.partitionBy(BUCKET_COL).parquet(stage)
+
+        new_files: dict[int, list[str]] = {}
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            bdir = os.path.join(self._data_dir, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            for fname in sorted(os.listdir(os.path.join(stage, entry))):
+                if not fname.endswith(".parquet"):
+                    continue
+                new_name = f"{uuid.uuid4().hex}.parquet"
+                os.replace(
+                    os.path.join(stage, entry, fname),
+                    os.path.join(bdir, new_name),
+                )
+                new_files.setdefault(b, []).append(
+                    os.path.join("data", f"bucket={b}", new_name)
+                )
+        shutil.rmtree(stage)
+        return new_files
+
+    def _commit(
+        self,
+        files: dict[int, list[str]],
+        batch_key: str | None,
+        batch_info: dict[str, Any] | None,
+        schema: StructType | None = None,
+    ) -> None:
+        snap = self.snapshot
+        meta = {
+            "version": snap.version + 1,
+            "schema": (schema or snap.schema).json(),
+            "n_buckets": snap.n_buckets,
+            "key_col": snap.key_col,
+            "files": {str(b): fs for b, fs in files.items() if fs},
+            "applied_batches": dict(snap.applied_batches),
+            "parent": snap.version,
+            "committed_at": _utcnow_iso(),
+        }
+        if batch_key is not None:
+            meta["applied_batches"][str(batch_key)] = {
+                "committed_at": meta["committed_at"],
+                **(batch_info or {}),
+            }
+        self._publish(meta)
+        self._snapshot = self._load_snapshot(meta["version"])
+
+    def replace_buckets(
+        self,
+        df: DataFrame,
+        buckets: Iterable[int],
+        batch_key: str | None = None,
+        batch_info: dict[str, Any] | None = None,
+    ) -> None:
+        """Copy-on-write commit: new content for `buckets`, all other
+        buckets' files carried forward untouched.  Data for the replaced
+        buckets MUST all be present in df (caller merges old+new)."""
+        replaced = set(int(b) for b in buckets)
+        new_files = self._write_data_files(df)
+        merged = {
+            b: fs for b, fs in self.snapshot.files.items() if b not in replaced
+        }
+        for b, fs in new_files.items():
+            if b not in replaced:
+                raise ValueError(
+                    f"write produced rows for bucket {b} outside replace set {replaced}"
+                )
+            merged[b] = fs
+        self._commit(merged, batch_key, batch_info)
+
+    def append(
+        self,
+        df: DataFrame,
+        batch_key: str | None = None,
+        batch_info: dict[str, Any] | None = None,
+    ) -> None:
+        """Append-only commit (used by history/lineage tables)."""
+        new_files = self._write_data_files(df)
+        merged = {b: list(fs) for b, fs in self.snapshot.files.items()}
+        for b, fs in new_files.items():
+            merged.setdefault(b, []).extend(fs)
+        self._commit(merged, batch_key, batch_info)
+
+    def record_batch(
+        self, batch_key: str, batch_info: dict[str, Any] | None = None
+    ) -> None:
+        """Commit a manifest-only snapshot (e.g. an empty batch is still
+        recorded so a restart skips it)."""
+        self._commit(dict(self.snapshot.files), batch_key, batch_info)
+
+    # ------------------------------------------------------------------
+    # schema evolution (metadata-only, additive)
+    # ------------------------------------------------------------------
+    def add_columns(self, new_fields: StructType | list) -> bool:
+        """Additive evolution: append columns to the schema without
+        touching any data file.  Idempotent — columns that already exist
+        are skipped.  Returns True if the schema changed."""
+        fields = list(new_fields)
+        existing = {f.name for f in self.schema.fields}
+        to_add = [f for f in fields if f.name not in existing]
+        if not to_add:
+            return False
+        new_schema = StructType(self.schema.fields + to_add)
+        self._commit(dict(self.snapshot.files), None, None, schema=new_schema)
+        return True
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def compact(self, max_files_per_bucket: int = 8) -> list[int]:
+        """Rewrite buckets whose small-file count exceeds the threshold
+        (north_rule compaction trigger).  Returns the compacted buckets."""
+        victims = [
+            b for b, n in self.file_stats().items() if n > max_files_per_bucket
+        ]
+        if not victims:
+            return []
+        df = self.read(buckets=victims)
+        self.replace_buckets(df, victims, batch_info={"compaction": True})
+        return victims
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Delete data files referenced only by snapshots older than the
+        last `keep_last` (Iceberg expire_snapshots analogue). Metadata
+        JSONs are kept (tiny); only unreachable parquet is removed."""
+        cur = self.current_version()
+        keep_versions = list(range(max(0, cur - keep_last + 1), cur + 1))
+        live: set[str] = set()
+        for v in keep_versions:
+            snap = self._load_snapshot(v)
+            for fs in snap.files.values():
+                live.update(fs)
+        removed = 0
+        for bdir in sorted(os.listdir(self._data_dir)):
+            full_bdir = os.path.join(self._data_dir, bdir)
+            if not os.path.isdir(full_bdir):
+                continue
+            for fname in os.listdir(full_bdir):
+                rel = os.path.join("data", bdir, fname)
+                if rel not in live:
+                    os.remove(os.path.join(full_bdir, fname))
+                    removed += 1
+        return removed
+
+
+def _utcnow_iso() -> str:
+    return datetime.now(timezone.utc).isoformat()

@@ -1,0 +1,143 @@
+"""End-to-end replay-equivalence tests: engine vs pandas oracle.
+
+The analogue of the reference's snapshot-fixture + idempotency tests
+(docs/identity.md:243-256): replay a deterministic change log, assert
+the final table matches the oracle row-by-row with EXACT token-array
+equality per doc_id (BASELINE.json invariant).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.cdc.oracle import (
+    assert_tokens_equal,
+    expected_final_state,
+    load_log,
+)
+from data_pipeline_spark.cdc.pipeline import CdcPipeline
+from data_pipeline_spark.cdc.stream import replay_batches
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    from data_pipeline_spark.cdc.synth import generate_change_log
+
+    d = tmp_path_factory.mktemp("cdclog")
+    stats = generate_change_log(str(d), n_docs=300, seed=7, n_files=6)
+    assert stats["total_events"] > 1500
+    return str(d)
+
+
+def _final_pandas(pipeline):
+    df = pipeline.current_state().select("doc_id", "tokens", "n_tok", "source")
+    return df.toPandas()
+
+
+def test_replay_matches_oracle(spark, log_dir, tmp_path):
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=8, compact_every=0)
+    n = replay_batches(spark, log_dir, pipe, files_per_batch=2)
+    assert n == 3
+    expected = expected_final_state(load_log(log_dir))
+    assert_tokens_equal(_final_pandas(pipe), expected)
+
+
+def test_replay_single_big_batch_same_result(spark, log_dir, tmp_path):
+    """Batch boundaries must not affect the final state (LWW within and
+    across batches agree)."""
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=8, compact_every=0)
+    replay_batches(spark, log_dir, pipe, files_per_batch=100)
+    expected = expected_final_state(load_log(log_dir))
+    assert_tokens_equal(_final_pandas(pipe), expected)
+
+
+def test_idempotent_replay_of_same_batch(spark, log_dir, tmp_path):
+    """Reference idempotency test: apply the same epoch twice → state
+    unchanged (manifest skip + lsn-guarded MERGE)."""
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=8, compact_every=0)
+    replay_batches(spark, log_dir, pipe, files_per_batch=2)
+    v_before = pipe.target.version
+    # replay every batch a second time with the same epoch ids
+    replay_batches(spark, log_dir, pipe, files_per_batch=2, start_batch_id=0)
+    expected = expected_final_state(load_log(log_dir))
+    assert_tokens_equal(_final_pandas(pipe), expected)
+    # manifest guard: no new data commits for target merges
+    applied = pipe.target.snapshot.applied_batches
+    assert set(applied.keys()) == {"0", "1", "2"}
+    assert pipe.target.version >= v_before
+
+
+def test_schema_evolution_mid_stream(spark, log_dir, tmp_path):
+    """`source` column appears mid-stream via a SCHEMA record: target
+    starts without it, ends with it; pre-evolution rows read NULL."""
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=8, compact_every=0)
+    files = sorted(__import__("glob").glob(log_dir + "/*.parquet"))
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+    first = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(files[0])
+    pipe.apply_batch(first, 0)
+    assert "source" not in [f.name for f in pipe.target.schema.fields]
+    for i, f in enumerate(files[1:], start=1):
+        pipe.apply_batch(spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(f), i)
+    assert "source" in [f.name for f in pipe.target.schema.fields]
+    final = pipe.current_state()
+    assert final.filter(F.col("source").isNotNull()).count() > 0
+    expected = expected_final_state(load_log(log_dir))
+    assert_tokens_equal(_final_pandas(pipe), expected)
+
+
+def test_dead_letter_and_lineage(spark, tmp_path):
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+    rows = [
+        ("d1", 1, "I", [1, 2], 2, None, None, 0, None),
+        ("d1", 2, "X", [1], 1, None, None, 0, None),     # unknown op
+        (None, 3, "I", [1], 1, None, None, 1, None),     # null key
+        ("d2", None, "I", [1], 1, None, None, 1, None),  # null lsn
+        ("d3", 4, "U", None, None, None, None, 1, None), # null payload
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=4, compact_every=0)
+    pipe.apply_batch(df, 0)
+    dl = pipe.dead_letter.read().toPandas()
+    assert sorted(dl["failure_reason"]) == [
+        "null_key", "null_lsn", "null_payload", "unknown_op",
+    ]
+    assert pipe.current_state().count() == 1  # only d1 survives
+    lin = pipe.lineage.read().toPandas()
+    assert lin["rows_in"].sum() == 5
+    assert lin["rows_dead_letter"].sum() == 4
+
+
+def test_lww_and_delete_semantics(spark, tmp_path):
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+    base_ts = __import__("datetime").datetime(2024, 1, 1)
+
+    def ts(s):
+        return base_ts + __import__("datetime").timedelta(seconds=s)
+
+    rows = [
+        ("a", 10, "I", [1], 1, None, None, 0, ts(10)),
+        ("a", 20, "U", [2], 1, None, None, 0, ts(20)),
+        ("a", 20, "U", [2], 1, None, None, 0, ts(99)),   # duplicate delivery
+        ("b", 11, "I", [3], 1, None, None, 0, ts(11)),
+        ("b", 21, "D", None, None, None, None, 0, ts(21)),
+        ("c", 12, "I", [4], 1, None, None, 0, ts(12)),
+        ("c", 22, "D", None, None, None, None, 0, ts(22)),
+        ("c", 32, "I", [5], 1, None, None, 0, ts(32)),   # re-insert after delete
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=4, compact_every=0)
+    pipe.apply_batch(df, 0)
+    got = {r.doc_id: (r.tokens, r.lsn) for r in pipe.current_state().collect()}
+    assert got == {"a": ([2], 20), "c": ([5], 32)}  # b deleted, c re-inserted
+
+    # a late batch with an OLDER lsn must be a no-op (T4)
+    late = spark.createDataFrame(
+        [("a", 15, "U", [9], 1, None, None, 0, ts(15))], CHANGE_EVENT_SCHEMA
+    )
+    pipe.apply_batch(late, 1)
+    got = {r.doc_id: r.tokens for r in pipe.current_state().collect()}
+    assert got["a"] == [2]

@@ -1,0 +1,137 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_pipeline_spark.table import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_create_append_read(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=4)
+    t.append(_mk(spark, [("a", [1, 2], 2), ("b", [3], 1)]))
+    got = {r.doc_id: r.tokens for r in t.read().collect()}
+    assert got == {"a": [1, 2], "b": [3]}
+    assert t.version == 1
+
+
+def test_bucket_pruned_read(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=4)
+    rows = [(f"d{i}", [i], 1) for i in range(40)]
+    t.append(_mk(spark, rows))
+    full = t.read()
+    withb = full.withColumn("b", t.bucket_of())
+    one_bucket = [r.doc_id for r in withb.filter(F.col("b") == 0).collect()]
+    pruned = [r.doc_id for r in t.read(buckets=[0]).collect()]
+    assert sorted(pruned) == sorted(one_bucket)
+
+
+def test_replace_buckets_cow(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=2)
+    t.append(_mk(spark, [("a", [1], 1), ("b", [2], 1), ("c", [3], 1)]))
+    # find which bucket "a" lives in, replace that bucket with new content
+    ab = t.read().withColumn("b", t.bucket_of()).filter(F.col("doc_id") == "a").first().b
+    keep = t.read().withColumn("b", t.bucket_of()).filter(F.col("b") == ab).drop("b")
+    updated = keep.withColumn(
+        "tokens", F.when(F.col("doc_id") == "a", F.array(F.lit(9))).otherwise(F.col("tokens"))
+    )
+    t.replace_buckets(updated, [ab], batch_key="7")
+    got = {r.doc_id: r.tokens for r in t.read().collect()}
+    assert got["a"] == [9] and got["b"] == [2] and got["c"] == [3]
+    assert t.has_batch("7") and not t.has_batch("8")
+
+
+def test_time_travel(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=2)
+    t.append(_mk(spark, [("a", [1], 1)]))
+    v1 = t.version
+    t.append(_mk(spark, [("b", [2], 1)]))
+    assert t.read().count() == 2
+    assert t.read(version=v1).count() == 1
+    assert t.read(version=0).count() == 0
+
+
+def test_schema_evolution_metadata_only(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=2)
+    t.append(_mk(spark, [("a", [1], 1)]))
+    files_before = dict(t.snapshot.files)
+    changed = t.add_columns([StructField("source", StringType())])
+    assert changed
+    assert dict(t.snapshot.files) == files_before  # no data rewrite
+    row = t.read().filter(F.col("doc_id") == "a").first()
+    assert row.source is None  # old files surface NULL for the new column
+    # idempotent
+    assert not t.add_columns([StructField("source", StringType())])
+    # new writes carry the column
+    new_schema = t.schema
+    df = spark.createDataFrame([("z", [5], 1, "s1")], new_schema)
+    t.append(df)
+    got = {r.doc_id: r.source for r in t.read().collect()}
+    assert got == {"a": None, "z": "s1"}
+
+
+def test_atomic_commit_no_partial_state(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=2)
+    t.append(_mk(spark, [("a", [1], 1)]))
+    # simulate a crash AFTER data files are written but BEFORE the
+    # metadata publish: write orphan files directly into data/
+    orphan_dir = os.path.join(t.path, "data", "bucket=0")
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(os.path.join(orphan_dir, "orphan.parquet"), "wb") as f:
+        f.write(b"not referenced")
+    reloaded = LakeTable.load(spark, t.path)
+    assert reloaded.read().count() == 1  # orphan invisible
+
+
+def test_compaction_trigger(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=1)
+    for i in range(6):
+        t.append(_mk(spark, [(f"d{i}", [i], 1)]))
+    assert t.file_stats()[0] >= 6
+    compacted = t.compact(max_files_per_bucket=4)
+    assert compacted == [0]
+    assert t.file_stats()[0] <= 4
+    assert t.read().count() == 6
+
+
+def test_expire_snapshots_removes_unreachable_files(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=1)
+    for i in range(5):
+        t.append(_mk(spark, [(f"d{i}", [i], 1)]))
+    t.compact(max_files_per_bucket=2)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert t.read().count() == 5  # current snapshot intact
+
+
+def test_exactly_once_guard(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=2)
+    t.append(_mk(spark, [("a", [1], 1)]), batch_key="0")
+    if not t.has_batch("0"):
+        pytest.fail("manifest lost")
+    # replay of batch 0 is skipped by the caller contract
+    assert t.has_batch("0")
+    t.record_batch("1", {"rows": 0})
+    assert t.has_batch("1")
+    assert t.read().count() == 1
