@@ -1,38 +1,751 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator family from SURVEY.md §2
+through the engine's library code (data_pipeline_spark/*), and
+``oracle_sql()`` carries the ANSI-SQL twin DuckDB runs on the same
+parquet. Column names and types are aligned on both sides (the driver
+hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
 
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ----------------------------------------------------------------------
+# flagship
+# ----------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: last-writer-wins current state over the events change
+    log (the CDC engine's core reduce, SURVEY.md W2/C1) at sf0.001."""
+    return _q_cdc_lww_current_state(spark, SF_DEFAULT)
+
+
+# ----------------------------------------------------------------------
+# query implementations (Spark side)
+# ----------------------------------------------------------------------
+def _q_cdc_lww_current_state(spark, sf):
+    from data_pipeline_spark.cdc.dedup import lww_reduce
+
+    ev = _load(spark, sf, "events")
+    latest = lww_reduce(ev, key_col="user_id", order_col="event_id", salt_buckets=8)
+    return latest.select("user_id", "event_id", "event_type", "value")
+
+
+def _q_dedup_first_arrival(spark, sf):
+    from data_pipeline_spark.operators.windows import dedup_first_arrival
+
+    ev = _load(spark, sf, "events")
+    first = dedup_first_arrival(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return first.select("user_id", "event_type", "event_id", "ts")
+
+
+def _q_gap_detection(spark, sf):
+    from data_pipeline_spark.operators.windows import detect_sequence_gaps
+
+    ev = _load(spark, sf, "events")
+    return detect_sequence_gaps(ev, "user_id", "event_id")
+
+
+def _q_scd2_intervals(spark, sf):
+    from data_pipeline_spark.operators.windows import scd2_close_windowed
+
+    ev = _load(spark, sf, "events").select(
+        "user_id", "event_id", F.col("ts").alias("valid_from_utc")
+    )
+    out = scd2_close_windowed(ev, "user_id", "event_id", "valid_from_utc")
+    # emit bounds as formatted strings: the 9999-12-31 sentinel overflows
+    # arrow→pandas ns timestamps in downstream comparisons
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("valid_from_utc", fmt).alias("valid_from"),
+        F.date_format("valid_to_utc", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+def _q_agg_daily_by_type(spark, sf):
+    ev = _load(spark, sf, "events")
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def _q_user_profile(spark, sf):
+    ev = _load(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_distinct_event_types(spark, sf):
+    return _load(spark, sf, "events").select("event_type").distinct()
+
+
+def _q_pit_range_join(spark, sf):
+    li = _load(spark, sf, "lineitem")
+    o = _load(spark, sf, "orders")
+    joined = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate >= o.o_orderdate),
+        "inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+def _q_pit_scd2_dim_join(spark, sf):
+    """Point-in-time join to an SCD2-style dim with synthetic validity
+    windows (trades_enriched.sql:194-197 shape)."""
+    from data_pipeline_spark.operators.joins import pit_join
+
+    ev = _load(spark, sf, "events").withColumn(
+        "cust_key", (F.col("user_id") % 150 + 1).cast("long")
+    )
+    dim = (
+        _load(spark, sf, "customer")
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            "c_mktsegment",
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(days=(F.col("c_custkey") % 20).cast("int"))
+            ).alias("valid_from_utc"),
+            F.lit(None).cast("timestamp").alias("valid_to_utc"),
+        )
+    )
+    j = pit_join(ev, dim, "cust_key", "ts", broadcast_dim=True, how="left")
+    return j.groupBy(dim.c_mktsegment.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def _q_anti_join_converted(spark, sf):
+    ev = _load(spark, sf, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return signups.join(purchases, "user_id", "left_anti")
+
+
+def _q_broadcast_enrich(spark, sf):
+    li = _load(spark, sf, "lineitem")
+    p = _load(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _q_union_canonicalize(spark, sf):
+    """U1/P3 — two 'feeds' canonicalised then unioned (side-normalisation
+    pattern, stg_venue_a_trades.sql:23-29)."""
+    ev = _load(spark, sf, "events")
+    feed_a = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("id"),
+        F.upper(F.col("event_type")).alias("etype"),
+        F.col("value").alias("amount"),
+        F.lit("feed_a").alias("src"),
+    )
+    feed_b = ev.filter(~F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("id"),
+        F.when(F.upper(F.col("event_type")) == "SIGNUP", "SIGN_UP")
+        .otherwise(F.upper(F.col("event_type")))
+        .alias("etype"),
+        F.col("value").alias("amount"),
+        F.lit("feed_b").alias("src"),
+    )
+    u = feed_a.unionByName(feed_b)
+    return u.groupBy("etype", "src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("amount"), 2).alias("sum_amount"),
+    )
+
+
+def _q_deterministic_ids(spark, sf):
+    from data_pipeline_spark.functions.identity import deterministic_id
+
+    o = _load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        deterministic_id(F.lit("orders"), F.col("o_orderkey"), namespace="dps").alias(
+            "det_id"
+        ),
+    )
+
+
+def _q_surrogate_keys(spark, sf):
+    from data_pipeline_spark.functions.identity import surrogate_key_md5
+
+    o = _load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        surrogate_key_md5("o_orderkey", "o_custkey").alias("sk"),
+    )
+
+
+def _q_safe_cast_props(spark, sf):
+    ev = _load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+def _q_name_normalization(spark, sf):
+    from data_pipeline_spark.functions.text import normalize_entity_name
+
+    c = _load(spark, sf, "customer")
+    return c.select("c_custkey", normalize_entity_name("c_name").alias("norm_name"))
+
+
+def _q_load_sequencing(spark, sf):
+    ev = _load(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    w_asc = Window.partitionBy("user_id", "day").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_desc = Window.partitionBy("user_id", "day").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return ev.select(
+        "user_id",
+        "day",
+        "event_id",
+        F.row_number().over(w_asc).cast("long").alias("load_sequence"),
+        (F.row_number().over(w_desc) == 1).alias("is_latest_for_day"),
+    )
+
+
+def _q_completeness(spark, sf):
+    from data_pipeline_spark.control.completeness import source_completeness
+
+    ev = _load(spark, sf, "events")
+    out = source_completeness(ev, "event_type", "ts", "2024-01-01", "2024-01-30", 5)
+    return out.select(
+        "source", "day", "rows_received", "status",
+        F.col("reset_group").cast("long").alias("reset_group"),
+        "consecutive_missing",
+    )
+
+
+def _q_exact_dup_docs(spark, sf):
+    from data_pipeline_spark.operators.dedupe import exact_duplicates
+
+    d = _load(spark, sf, "documents")
+    return exact_duplicates(d, "doc_id", "text")
+
+
+def _q_minhash_signatures(spark, sf):
+    from data_pipeline_spark.operators.dedupe import minhash_signatures
+
+    d = _load(spark, sf, "documents")
+    return minhash_signatures(d, "doc_id", "text", num_hashes=8)
+
+
+def _q_minhash_lsh_candidates(spark, sf):
+    from data_pipeline_spark.operators.dedupe import lsh_candidate_pairs
+
+    d = _load(spark, sf, "documents")
+    return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, band_size=2)
+
+
+def _q_ngram_jaccard_dups(spark, sf):
+    from data_pipeline_spark.operators.dedupe import ngram_jaccard_pairs
+
+    d = _load(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+def _q_simhash(spark, sf):
+    from data_pipeline_spark.operators.dedupe import simhash
+
+    d = _load(spark, sf, "documents")
+    return simhash(d, "doc_id", "text", bits=16)
+
+
+def _q_token_counts(spark, sf):
+    from data_pipeline_spark.functions.text import token_count_bpe_ish, token_count_ws
+
+    d = _load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").cast("long").alias("n_ws_tokens"),
+        token_count_bpe_ish("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _q_quality_scores(spark, sf):
+    from data_pipeline_spark.functions.text import quality_metrics
+
+    d = _load(spark, sf, "documents")
+    m = quality_metrics("text")
+    return d.select(
+        "doc_id",
+        m["n_chars"].cast("long").alias("n_chars"),
+        m["n_words"].cast("long").alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def _q_langid(spark, sf):
+    from data_pipeline_spark.functions.text import predict_lang
+
+    d = _load(spark, sf, "documents")
+    return d.select("doc_id", predict_lang("text").alias("pred_lang"))
+
+
+def _q_fingerprints(spark, sf):
+    from data_pipeline_spark.functions.text import fingerprint_md5
+
+    d = _load(spark, sf, "documents")
+    return d.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+def _q_ann_topk(spark, sf):
+    from data_pipeline_spark.operators.similarity import brute_force_topk
+
+    e = _load(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return brute_force_topk(
+        e.filter(F.col("vec_id") != 0), "vec_id", "embedding", list(qvec), k=10
+    )
+
+
+def _q_ivf_near_dup_pairs(spark, sf):
+    from data_pipeline_spark.operators.similarity import ivf_threshold_pairs
+
+    e = _load(spark, sf, "embeddings")
+    return ivf_threshold_pairs(e, "vec_id", "embedding", "label", threshold=0.25)
+
+
+def _q_lsh_ann_topk(spark, sf):
+    from data_pipeline_spark.operators.similarity import lsh_ann_topk
+
+    e = _load(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_ann_topk(
+        e.filter(F.col("vec_id") != 0), "vec_id", "embedding", list(qvec), dim=64, k=10
+    )
+
+
+def _q_rules_quarantine(spark, sf):
+    from data_pipeline_spark.sources.rules import Rule, apply_rules
+
+    ev = _load(spark, sf, "events")
+    rules = [
+        Rule("value > 50", "error", "value_gt_50"),
+        Rule("event_type in ('click', 'view', 'purchase', 'signup', 'error')", "error", "etype_allowed"),
+        Rule("user_id is not null", "error", "user_not_null"),
+        Rule("value > 190", "warning", "value_gt_190"),
+    ]
+    valid, quarantined, warnings = apply_rules(ev, rules)
+    return quarantined.select("event_id", "failure_reasons")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_lww_current_state": _q_cdc_lww_current_state,
+    "dedup_first_arrival": _q_dedup_first_arrival,
+    "gap_detection": _q_gap_detection,
+    "scd2_intervals": _q_scd2_intervals,
+    "agg_daily_by_type": _q_agg_daily_by_type,
+    "user_profile": _q_user_profile,
+    "distinct_event_types": _q_distinct_event_types,
+    "pit_range_join": _q_pit_range_join,
+    "pit_scd2_dim_join": _q_pit_scd2_dim_join,
+    "anti_join_converted": _q_anti_join_converted,
+    "broadcast_enrich": _q_broadcast_enrich,
+    "union_canonicalize": _q_union_canonicalize,
+    "deterministic_ids": _q_deterministic_ids,
+    "surrogate_keys": _q_surrogate_keys,
+    "safe_cast_props": _q_safe_cast_props,
+    "name_normalization": _q_name_normalization,
+    "load_sequencing": _q_load_sequencing,
+    "completeness": _q_completeness,
+    "exact_dup_docs": _q_exact_dup_docs,
+    "minhash_signatures": _q_minhash_signatures,
+    "minhash_lsh_candidates": _q_minhash_lsh_candidates,
+    "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+    "simhash": _q_simhash,
+    "token_counts": _q_token_counts,
+    "quality_scores": _q_quality_scores,
+    "langid": _q_langid,
+    "fingerprints": _q_fingerprints,
+    "ann_topk": _q_ann_topk,
+    "ivf_near_dup_pairs": _q_ivf_near_dup_pairs,
+    "lsh_ann_topk": _q_lsh_ann_topk,
+    "rules_quarantine": _q_rules_quarantine,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------------
+# DuckDB oracle SQL
+# ----------------------------------------------------------------------
+_H15 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SHINGLES_CTE = f"""
+d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM d),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(ws) >= 3
+                       THEN list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       ELSE [norm] END) AS shingle
+    FROM w
+)
+"""
+
+
+def _minhash_aggs(num_hashes: int) -> str:
+    return ", ".join(
+        "min({h}) AS sig_{k}".format(
+            h=_H15.format(x="'" + str(k) + ":' || shingle"), k=k
+        )
+        for k in range(num_hashes)
+    )
+
+
+def _minhash_sql(num_hashes: int) -> str:
+    return (
+        f"WITH {_SHINGLES_CTE} "
+        f"SELECT doc_id, {_minhash_aggs(num_hashes)} FROM sh GROUP BY doc_id"
+    )
+
+
+def _lsh_sql(num_hashes: int, band_size: int) -> str:
+    n_bands = num_hashes // band_size
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5(".format(b=b)
+        + " || ',' || ".join(
+            f"CAST(sig_{b * band_size + j} AS VARCHAR)" for j in range(band_size)
+        )
+        + ") AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {_minhash_aggs(num_hashes)} FROM sh GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_sql(bits: int) -> str:
+    h = _H15.format(x="w")
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+words AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM d),
+hashed AS (SELECT doc_id, {h} AS h FROM words)
+SELECT doc_id, {bit_terms} AS simhash FROM hashed GROUP BY doc_id
+"""
+
+
+_EN_SW = "the|and|of|to|in|is|that|it|for|with"
+_LANG_COUNT = {
+    "de": "der|die|und|das|ist|von|mit|den|ein|zu",
+    "en": _EN_SW,
+    "es": "el|la|de|que|y|en|un|es|se|no",
+    "fr": "le|la|de|et|un|est|que|pour|dans|ce",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["cdc_lww_current_state"] = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+    sql["dedup_first_arrival"] = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+    sql["gap_detection"] = """
+WITH lagged AS (
+  SELECT user_id AS partition, event_id AS cur,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events)
+SELECT partition, prev + 1 AS gap_start, cur - 1 AS gap_end,
+       cur - prev - 1 AS gap_size,
+       CASE WHEN cur - prev - 1 <= 10 THEN 'LOW'
+            WHEN cur - prev - 1 <= 100 THEN 'MEDIUM'
+            WHEN cur - prev - 1 <= 1000 THEN 'HIGH'
+            ELSE 'CRITICAL' END AS severity
+FROM lagged WHERE prev IS NOT NULL AND cur - prev > 1
+"""
+
+    sql["scd2_intervals"] = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                         - INTERVAL 1 SECOND,
+                         TIMESTAMP '9999-12-31 23:59:59'),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current
+FROM events
+"""
+
+    sql["agg_daily_by_type"] = """
+SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value, min(ts) AS min_ts, max(ts) AS max_ts
+FROM events GROUP BY 1, 2
+"""
+
+    sql["user_profile"] = """
+SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+    sql["distinct_event_types"] = "SELECT DISTINCT event_type FROM events"
+
+    sql["pit_range_join"] = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+GROUP BY 1
+"""
+
+    sql["pit_scd2_dim_join"] = """
+WITH ev AS (SELECT *, CAST(user_id % 150 + 1 AS BIGINT) AS cust_key FROM events),
+dim AS (SELECT c_custkey AS cust_key, c_mktsegment,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + to_days(CAST(c_custkey % 20 AS INT)) AS valid_from_utc,
+               CAST(NULL AS TIMESTAMP) AS valid_to_utc
+        FROM customer)
+SELECT dim.c_mktsegment AS segment, count(*) AS n_events
+FROM ev LEFT JOIN dim
+  ON ev.cust_key = dim.cust_key AND ev.ts >= dim.valid_from_utc
+     AND (dim.valid_to_utc IS NULL OR ev.ts < dim.valid_to_utc)
+GROUP BY 1
+"""
+
+    sql["anti_join_converted"] = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+  AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+    sql["broadcast_enrich"] = """
+SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+"""
+
+    sql["union_canonicalize"] = """
+WITH u AS (
+  SELECT event_id AS id, upper(event_type) AS etype, value AS amount,
+         'feed_a' AS src
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT event_id, CASE WHEN upper(event_type) = 'SIGNUP' THEN 'SIGN_UP'
+                        ELSE upper(event_type) END,
+         value, 'feed_b'
+  FROM events WHERE event_type NOT IN ('click', 'view'))
+SELECT etype, src, count(*) AS n, round(sum(amount), 2) AS sum_amount
+FROM u GROUP BY 1, 2
+"""
+
+    sql["deterministic_ids"] = """
+SELECT o_orderkey,
+       md5('dps' || ':' || 'orders' || ':' || CAST(o_orderkey AS VARCHAR)) AS det_id
+FROM orders
+"""
+
+    sql["surrogate_keys"] = f"""
+SELECT o_orderkey,
+       {_H15.format(x="CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)")} AS sk
+FROM orders
+"""
+
+    sql["safe_cast_props"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+    sql["name_normalization"] = r"""
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(upper(trim(c_name)),
+                        '\s+(LTD|LIMITED|PLC|LLC|INC|CORP|CO|COMPANY|GMBH|SA|AG)\.?$', ''),
+         '\s+', ' ', 'g') AS norm_name
+FROM customer
+"""
+
+    sql["load_sequencing"] = """
+SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+       row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                          ORDER BY ts ASC, event_id ASC) AS load_sequence,
+       row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                          ORDER BY ts DESC, event_id DESC) = 1 AS is_latest_for_day
+FROM events
+"""
+
+    sql["completeness"] = """
+WITH per_day AS (
+  SELECT event_type AS source, CAST(ts AS DATE) AS day, count(*) AS rows_received
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY))::DATE AS day),
+expected AS (
+  SELECT s.source, sp.day FROM (SELECT DISTINCT source FROM per_day) s
+  CROSS JOIN spine sp),
+joined AS (
+  SELECT e.source, e.day, coalesce(p.rows_received, 0) AS rows_received
+  FROM expected e LEFT JOIN per_day p ON e.source = p.source AND e.day = p.day),
+status AS (
+  SELECT *, CASE WHEN rows_received = 0 THEN 'MISSING'
+                 WHEN rows_received < 5 THEN 'PARTIAL'
+                 ELSE 'COMPLETE' END AS status,
+         CASE WHEN rows_received = 0 THEN 1 ELSE 0 END AS is_missing
+  FROM joined),
+reset AS (
+  SELECT *, sum(CASE WHEN is_missing = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY source ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reset_group
+  FROM status)
+SELECT source, day, rows_received, status,
+       CAST(reset_group AS BIGINT) AS reset_group,
+       CAST(row_number() OVER (PARTITION BY source, reset_group ORDER BY day) - 1
+            AS BIGINT) AS consecutive_missing
+FROM reset
+"""
+
+    sql["exact_dup_docs"] = f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents)
+SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM fp GROUP BY 1 HAVING count(*) > 1
+"""
+
+    sql["minhash_signatures"] = _minhash_sql(8)
+    sql["minhash_lsh_candidates"] = _lsh_sql(8, 2)
+    sql["simhash"] = _simhash_sql(16)
+
+    sql["ngram_jaccard_dups"] = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(ni / (x.n + y.n - ni), 4) AS jaccard
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(ni / (x.n + y.n - ni), 4) >= 0.5
+"""
+
+    sql["token_counts"] = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+    sql["quality_scores"] = rf"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b({_EN_SW})\b')) AS n_stop
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+       round(n_chars / greatest(n_words, 1), 4) AS mean_word_len,
+       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(n_stop / greatest(n_words, 1), 4) AS stopword_ratio
+FROM base
+"""
+
+    lang_counts = ", ".join(
+        rf"len(regexp_extract_all(lower(text), '\b({pat})\b')) AS c_{lang}"
+        for lang, pat in _LANG_COUNT.items()
+    )
+    sql["langid"] = f"""
+WITH scores AS (SELECT doc_id, {lang_counts} FROM documents)
+SELECT doc_id,
+       CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scores
+"""
+
+    sql["fingerprints"] = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+
+    sql["ann_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+FROM embeddings, q WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    sql["ivf_near_dup_pairs"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.25
+"""
+
+    sql["rules_quarantine"] = """
+SELECT event_id,
+       concat_ws(';',
+         CASE WHEN NOT coalesce(value > 50, FALSE) THEN 'value_gt_50' END,
+         CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE)
+              THEN 'etype_allowed' END,
+         CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE) THEN 'user_not_null' END
+       ) AS failure_reasons
+FROM events
+WHERE NOT coalesce(value > 50, FALSE)
+   OR NOT coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE)
+   OR NOT coalesce(user_id IS NOT NULL, FALSE)
+"""
+
+    # lsh_ann_topk: hyperplanes are generated driver-side (md5-derived);
+    # intentionally no SQL twin → driver records rows-only check.
+    return sql

@@ -1,0 +1,219 @@
+"""Corpus-deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH, SimHash, and n-gram Jaccard — the standard
+web-corpus near-dup stack, built from JVM-side expressions only (md5 /
+regexp / higher-order array functions), deliberately formulated so an
+ANSI-SQL oracle (DuckDB) can reproduce every value bit-for-bit:
+
+* hash primitive: first 15 hex chars of md5 → BIGINT (fits int64 in
+  every engine);
+* shingles: 3-word shingles over casefolded whitespace-collapsed text;
+* MinHash: K independent hashes h_k(s) = H(k ':' s), min per doc;
+* LSH: K/r bands, band key = md5 of the band's signature slice;
+  candidate pairs share any (band_idx, band_key) bucket.
+
+Scale notes: everything is explode → hash → groupBy-min, i.e. one
+shuffle on doc_id with map-side partial mins; the LSH self-join is on
+(band_idx, band_key) which is high-cardinality and therefore well
+distributed.  At 100 TB you'd salt mega-buckets (boilerplate pages) by
+capping bucket size before the pair join — `max_bucket` does this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5
+
+
+def _hash15(c: Column) -> Column:
+    """First 15 hex chars of md5 → BIGINT (cross-engine-exact)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles; whole text if fewer than n words."""
+    words = F.split(normalize_text(c), " ")
+    k = F.size(words)
+    make = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(k >= n, make).otherwise(F.array(normalize_text(c)))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup via content fingerprint: hash-groupBy, keep the
+    lowest id as canonical, count the clones."""
+    fp = df.select(
+        F.col(id_col), fingerprint_md5(text_col).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """doc → MinHash signature (one column per hash, sig_0..sig_{K-1}).
+
+    explode(shingles) → K hash exprs → groupBy(doc).min() — a single
+    shuffle with map-side combine; no UDFs."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).dropDuplicates([id_col, "shingle"])
+    aggs = [
+        F.min(_hash15(F.concat_ws(":", F.lit(str(k)), F.col("shingle")))).alias(f"sig_{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Signature → (band_idx, band_key) rows for bucketing."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * band_size + j}").cast("string") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band bucket.
+
+    max_bucket drops degenerate mega-buckets (boilerplate) before the
+    quadratic pair expansion — the skew guard that matters at 100 TB."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    bands = lsh_bands(sigs, id_col, num_hashes, band_size)
+    if max_bucket is not None:
+        sized = bands.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        bands = bands.join(
+            sized.filter(F.col("_n") <= max_bucket).drop("_n"),
+            on=["band_idx", "band_key"],
+            how="inner",
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.  The verification stage after
+    LSH candidates (or standalone at moderate scale)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    ).dropDuplicates([id_col, "shingle"])
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per word w, h(w) = md5-prefix int; bit j of
+    the fingerprint is 1 iff sum over words of (+1 if bit j of h(w) else
+    -1) > 0.  Returns (id, simhash BIGINT).  Near-dups have small
+    hamming distance between fingerprints."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+    )
+    h = _hash15(F.col("w"))
+    hashed = words.select(id_col, h.alias("h"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else (fp + term)
+    return bit_sums.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,154 @@
+"""Embedding similarity search over array<float> columns.
+
+Brute-force cosine is the correctness baseline (one scan, JVM-side
+higher-order functions — F.aggregate/zip_with dot product, no UDF).
+The scale paths:
+
+* threshold pairs within a coarse partition (IVF-style, using a
+  precomputed cluster id — here the `label` column) — turns the O(N²)
+  pair join into per-cluster joins;
+* sign-LSH bucketing via deterministic pseudo-random hyperplanes
+  (seeded md5-derived weights) for ANN at corpus scale.
+
+All floating math is done in double and rounded before emission so an
+independent engine (the DuckDB oracle) reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.  Deterministic
+    tie-break on id so results are engine-reproducible."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_threshold_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold, searched only within the
+    same coarse cluster (IVF-style).  The cluster column bounds the
+    quadratic join; at 100 TB clusters come from k-means on a sample —
+    here any precomputed assignment works."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col(cluster_col).alias("_c"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col(cluster_col).alias("_c"),
+    )
+    pairs = a.join(b, on=["_c"]).filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_va"), F.col("_vb")), round_digits).alias("cos_sim"),
+    )
+    return out.filter(F.col("cos_sim") >= threshold)
+
+
+def _hyperplane(seed: int, j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from md5 — no RNG
+    state, reproducible across engines and runs."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()
+        # map first 8 hex chars to [-1, 1)
+        vals.append((int(h[:8], 16) / 0x80000000) - 1.0)
+    return vals
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-LSH: bucket = bit vector of sign(v · plane_j).  Vectors in
+    the same bucket are ANN candidates; planes are deterministic."""
+    bucket = None
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(seed, j, dim)])
+        bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return df.select(F.col(id_col), bucket.cast("long").alias("lsh_bucket"))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k: restrict the scan to the query's LSH bucket, then
+    exact cosine inside it.  The scale path for similarity search —
+    bucket selectivity ~2^-n_planes of the corpus."""
+    import hashlib  # noqa: F401  (planes derived in _hyperplane)
+
+    # compute the query's bucket driver-side with the same planes
+    qb = 0
+    for j in range(n_planes):
+        plane = _hyperplane(seed, j, dim)
+        if sum(p * float(x) for p, x in zip(plane, query_vec)) > 0:
+            qb += 2**j
+    buckets = sign_lsh_buckets(df, id_col, vec_col, dim, n_planes, seed)
+    cand = df.join(buckets.filter(F.col("lsh_bucket") == qb), on=id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
