@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""bench.py — headline benchmark for the PySpark CDC engine.
+
+Default mode (what the driver runs):
+  * times the headline queries from ``__spark_entry__.queries()`` at
+    ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+    ``local[$SPARK_GRAFT_CPUS]`` (default local[*]);
+  * measures end-to-end CDC replay throughput (the engine's primary
+    metric, BASELINE.json): synthesize a deterministic change log, replay
+    it through CdcPipeline (dedup → LWW → bucket-pruned MERGE → SCD2
+    history → lineage), report change-events/sec applied;
+  * prints ONE JSON line:
+      {"metric": ..., "value": N, "unit": "sec",
+       "queries": {...}, "sf": ..., "cdc_replay": {...}}
+
+Scaling mode (evidence for the north_rule's N→4N criterion):
+  python bench.py --scaling
+  runs the identical replay job on the identical input at two local
+  parallelism levels (local[8] vs local[32], shuffle partitions scaled
+  with cores) in separate processes and reports throughput at both plus
+  efficiency = tput_4N / (4 * tput_N).
+
+Internal worker mode (used by --scaling):
+  python bench.py --replay-only --cpus 8 --log-dir ... --work-dir ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# representative subset of __spark_entry__.queries(): one per operator
+# family (CDC core, windows, joins, aggs, control, dedup/LSH, text, ANN)
+HEADLINE_QUERIES = [
+    "cdc_lww_current_state",
+    "dedup_first_arrival",
+    "gap_detection",
+    "scd2_intervals",
+    "agg_daily_by_type",
+    "user_profile",
+    "pit_range_join",
+    "pit_scd2_dim_join",
+    "broadcast_enrich",
+    "union_canonicalize",
+    "load_sequencing",
+    "completeness",
+    "exact_dup_docs",
+    "minhash_lsh_candidates",
+    "simhash",
+    "token_counts",
+    "quality_scores",
+    "langid",
+    "ann_topk",
+    "rules_quarantine",
+]
+
+# replay-bench log shape: big enough that compute dominates JVM/job
+# overhead, small enough to synthesize in seconds.
+REPLAY_CFG = dict(
+    n_docs=40_000,
+    seed=7,
+    n_partitions=32,
+    n_files=8,
+    min_tok=32,
+    max_tok=192,
+)
+REPLAY_FILES_PER_BATCH = 4
+REPLAY_BUCKETS = 64
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _materialize(df) -> int:
+    """Force full computation without driver-side collect."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def run_replay(spark, log_dir: str, work_dir: str, n_events: int) -> dict:
+    from data_pipeline_spark.cdc.pipeline import CdcPipeline
+    from data_pipeline_spark.cdc.stream import replay_batches
+
+    base = os.path.join(work_dir, "lake")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    pipeline = CdcPipeline(
+        spark,
+        base,
+        n_buckets=REPLAY_BUCKETS,
+        salt_buckets=32,
+        enable_history=True,
+        compact_every=0,
+    )
+    t0 = time.perf_counter()
+    n_batches = replay_batches(
+        spark, log_dir, pipeline, files_per_batch=REPLAY_FILES_PER_BATCH
+    )
+    elapsed = time.perf_counter() - t0
+    final_rows = pipeline.current_state().count()
+    return {
+        "events": n_events,
+        "batches": n_batches,
+        "elapsed_sec": round(elapsed, 3),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "final_rows": final_rows,
+    }
+
+
+def synth_log(log_dir: str) -> dict:
+    from data_pipeline_spark.cdc.synth import generate_change_log
+
+    return generate_change_log(log_dir, **REPLAY_CFG)
+
+
+def _worker(cpus: int, log_dir: str, work_dir: str, n_events: int) -> None:
+    from data_pipeline_spark.session import build_session
+
+    spark = build_session(f"bench-replay-{cpus}", cpus=cpus)
+    try:
+        stats = run_replay(spark, log_dir, work_dir, n_events)
+        stats["cpus"] = cpus
+        print(json.dumps(stats))
+    finally:
+        spark.stop()
+
+
+def run_scaling(log_dir: str, n_events: int, levels=(8, 32)) -> dict:
+    """Same job, same input, two parallelism levels, separate JVMs."""
+    results = {}
+    for cpus in levels:
+        with tempfile.TemporaryDirectory(prefix=f"bench-scale-{cpus}-") as wd:
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--replay-only", "--cpus", str(cpus),
+                    "--log-dir", log_dir, "--work-dir", wd,
+                    "--n-events", str(n_events),
+                ],
+                capture_output=True, text=True, check=True,
+                cwd=REPO_ROOT,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = min(levels), max(levels)
+    ratio = hi / lo
+    eff = results[hi]["events_per_sec"] / (ratio * results[lo]["events_per_sec"])
+    return {
+        f"local[{lo}]": results[lo],
+        f"local[{hi}]": results[hi],
+        "core_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--replay-only", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--work-dir", default=None)
+    ap.add_argument("--n-events", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.replay_only:
+        _worker(args.cpus or 8, args.log_dir, args.work_dir, args.n_events)
+        return
+
+    tmp = tempfile.mkdtemp(prefix="bench-cdc-")
+    log_dir = os.path.join(tmp, "changelog")
+    try:
+        log_stats = synth_log(log_dir)
+        n_events = log_stats["total_events"]
+
+        if args.scaling:
+            scaling = run_scaling(log_dir, n_events)
+            print(json.dumps({"scaling": scaling, "log": log_stats}, indent=2))
+            return
+
+        from data_pipeline_spark.session import build_session
+
+        spark = build_session("bench")
+        try:
+            timings = (
+                {} if args.skip_queries else run_queries(spark, args.sf_dir)
+            )
+            replay = run_replay(
+                spark, log_dir, os.path.join(tmp, "work"), n_events
+            )
+        finally:
+            spark.stop()
+
+        total = round(sum(timings.values()) + replay["elapsed_sec"], 3)
+        out = {
+            "metric": "headline_queries_plus_cdc_replay_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {**timings, "cdc_replay": replay["elapsed_sec"]},
+            "sf": _sf_of(args.sf_dir),
+            "cdc_replay": replay,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,12 +12,24 @@ The lsn guard makes replays and late/duplicate batches no-ops (T4),
 which is what makes the whole pipeline idempotent and exactly-once
 composable with the commit manifest.
 
-Scale design: changes are reduced to one row per key BEFORE the join
-(lww_reduce, salted), then only the hash-buckets containing affected
-keys are read and rewritten (copy-on-write at bucket granularity —
-per-batch cost ∝ touched data, not table size).  The join itself is a
-full-outer on doc_id between the touched buckets and the (small,
-per-key-reduced) change set; AQE handles residual skew.
+Scale design — ONE full-width shuffle per merge:
+changes are reduced to one row per key BEFORE this step (lww_reduce,
+salted), then the merge is expressed as union + per-key max_by instead
+of a full-outer join:
+
+    (target rows of affected buckets) ∪ (change rows)
+      → repartition by storage bucket            [the only wide shuffle]
+      → groupBy(bucket, key).max_by(row, (lsn, target-wins-ties))
+      → drop winners whose op = 'D'
+      → write, already partitioned by bucket     [no second shuffle]
+
+``groupBy(bucket, key)`` reuses the bucket repartition exchange (hash
+partitioning on a subset of the grouping keys satisfies the clustered
+distribution), and the bucketed write skips its own repartition — the
+full-outer-join formulation costs two wide shuffles (join + write),
+this costs one.  Only the hash-buckets containing affected keys are
+read and rewritten (copy-on-write at bucket granularity): per-batch
+cost ∝ touched data, not table size.
 """
 
 from __future__ import annotations
@@ -25,14 +37,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..table.laketable import LakeTable
+from ..table.laketable import BUCKET_COL, LakeTable
 
 
 def merge_into(
     table: LakeTable,
     changes: DataFrame,
     batch_id: int | str,
-    extra_stamp_cols: dict | None = None,
+    shuffle_partitions: int | None = None,
 ) -> dict:
     """Apply a per-key-reduced change set to the table; returns metrics.
 
@@ -41,51 +53,75 @@ def merge_into(
     """
     key = table.key_col
     payload_cols = [
-        f.name
+        f
         for f in table.schema.fields
         if f.name not in (key, "lsn") and not f.name.startswith("_")
     ]
+    meta_cols = [f for f in table.schema.fields if f.name.startswith("_")]
 
-    d = changes.withColumn("_b", table.bucket_of(key))
-    affected = [r[0] for r in d.select("_b").distinct().collect()]
+    d = changes.withColumn(BUCKET_COL, table.bucket_of(key))
+    affected = [r[0] for r in d.select(BUCKET_COL).distinct().collect()]
     if not affected:
-        table.record_batch(str(batch_id), {"rows_upserted": 0, "rows_deleted": 0})
-        return {"rows_upserted": 0, "rows_deleted": 0, "buckets": []}
+        table.record_batch(str(batch_id), {"rows": 0})
+        return {"buckets": []}
 
-    t = table.read(buckets=affected)
+    t = table.read(buckets=affected).withColumn(BUCKET_COL, table.bucket_of(key))
 
-    joined = t.alias("t").join(d.alias("d"), on=key, how="full_outer")
-    d_exists = F.col("d.lsn").isNotNull()
-    t_exists = F.col("t.lsn").isNotNull()
-    take_d = d_exists & (~t_exists | (F.col("d.lsn") > F.col("t.lsn")))
-    is_delete = take_d & (F.col("d.op") == "D")
-    keep = ~is_delete & (t_exists | (d_exists & (F.col("d.op") != "D")))
-
-    stamp = {
-        "_batch_id": F.lit(int(batch_id) if str(batch_id).isdigit() else None).cast("long"),
-        "_applied_at": F.current_timestamp(),
-        **(extra_stamp_cols or {}),
-    }
-    select_cols = [F.col(key)]
-    for c in payload_cols:
-        d_val = F.col(f"d.{c}") if c in changes.columns else F.lit(None)
-        select_cols.append(
-            F.when(take_d, d_val).otherwise(F.col(f"t.{c}")).alias(c)
-        )
-    select_cols.append(
-        F.when(take_d, F.col("d.lsn")).otherwise(F.col("t.lsn")).alias("lsn")
+    # align both sides on [key, _bucket, lsn, op, _prio, payload..., meta...]
+    batch_stamp = F.lit(
+        int(batch_id) if str(batch_id).lstrip("-").isdigit() else None
+    ).cast("long")
+    d_side = d.select(
+        F.col(key),
+        F.col(BUCKET_COL),
+        F.col("lsn"),
+        F.col("op"),
+        F.lit(0).alias("_prio"),
+        *[
+            (F.col(f.name) if f.name in changes.columns else F.lit(None)).cast(
+                f.dataType
+            ).alias(f.name)
+            for f in payload_cols
+        ],
+        batch_stamp.alias("_batch_id"),
+        F.current_timestamp().alias("_applied_at"),
     )
-    for name in [f.name for f in table.schema.fields if f.name.startswith("_")]:
-        select_cols.append(
-            F.when(take_d, stamp[name]).otherwise(F.col(f"t.{name}")).alias(name)
-        )
+    t_side = t.select(
+        F.col(key),
+        F.col(BUCKET_COL),
+        F.col("lsn"),
+        # pseudo-op: target rows always survive unless outranked by a
+        # strictly-newer delete
+        F.lit("T").alias("op"),
+        F.lit(1).alias("_prio"),
+        *[F.col(f.name) for f in payload_cols],
+        *[F.col(f.name) for f in meta_cols],
+    )
+    combined = t_side.unionByName(d_side)
 
-    merged = joined.filter(keep).select(*select_cols)
+    value_cols = [c for c in combined.columns if c not in (key, BUCKET_COL)]
+    packed = F.struct(*[F.col(c) for c in value_cols])
+    # ties on lsn → target wins (replay / late duplicate is a no-op,
+    # matching MERGE's `s.lsn > t.lsn` guard)
+    order_key = F.struct(F.col("lsn").alias("o1"), F.col("_prio").alias("o2"))
+
+    nparts = shuffle_partitions or int(
+        changes.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    merged = (
+        combined.repartition(nparts, BUCKET_COL)
+        .groupBy(BUCKET_COL, key)
+        .agg(F.max_by(packed, order_key).alias("_row"))
+        .filter(F.col("_row.op") != "D")
+        .select(F.col(key), F.col(BUCKET_COL), "_row.*")
+        .drop("op", "_prio")
+    )
 
     table.replace_buckets(
         merged,
         affected,
         batch_key=str(batch_id),
         batch_info={"buckets": sorted(affected)},
+        prepartitioned=True,
     )
     return {"buckets": sorted(affected)}

@@ -83,100 +83,103 @@ class CdcPipeline:
         """Apply one micro-batch; safe to call again with the same
         batch_id after a crash (exactly-once via commit manifests)."""
         bkey = str(batch_id)
-        df = df.persist()
-        try:
-            is_schema = F.col("op") == "SCHEMA"
-            failure = (
-                F.when(F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS), "unknown_op")
-                .when(F.col("doc_id").isNull(), "null_key")
-                .when(F.col("lsn").isNull(), "null_lsn")
-                .when(F.col("op").isin("I", "U") & F.col("tokens").isNull(), "null_payload")
+        # NOTE: df is deliberately NOT persisted — every consumer except
+        # the dedup is column-pruned (ddl scan, dead-letter filter,
+        # lineage agg read a few narrow columns), so re-scanning parquet
+        # is cheaper than materializing the full-width batch (tokens
+        # arrays) into the cache.  `deduped` (full width, reused by merge
+        # and history) is the right thing to cache.
+        is_schema = F.col("op") == "SCHEMA"
+        failure = (
+            F.when(F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS), "unknown_op")
+            .when(F.col("doc_id").isNull(), "null_key")
+            .when(F.col("lsn").isNull(), "null_lsn")
+            .when(F.col("op").isin("I", "U") & F.col("tokens").isNull(), "null_payload")
+        )
+
+        # -- 2. additive schema evolution (metadata-only) ----------
+        ddls = [
+            r[0]
+            for r in df.filter(is_schema & F.col("ddl").isNotNull())
+            .select("ddl")
+            .distinct()
+            .collect()
+        ]
+        for ddl in ddls:
+            fields = list(parse_ddl(ddl))
+            self.target.add_columns(fields)
+            if self.history is not None:
+                self.history.add_columns(fields)
+
+        non_schema = df.filter(~is_schema)
+        events = non_schema.filter(failure.isNull())
+        dead = non_schema.filter(failure.isNotNull())
+
+        # -- 3. arrival dedup --------------------------------------
+        deduped = dedup_arrivals(events).persist()
+
+        # -- 4. LWW reduce + MERGE ---------------------------------
+        stats: dict = {"batch_id": batch_id}
+        if not self.target.has_batch(bkey):
+            reduced = lww_reduce(
+                deduped, key_col="doc_id", order_col="lsn",
+                salt_buckets=self.salt_buckets,
             )
+            stats["merge"] = merge_into(self.target, reduced, batch_id)
 
-            # -- 2. additive schema evolution (metadata-only) ----------
-            ddls = [
-                r[0]
-                for r in df.filter(is_schema & F.col("ddl").isNotNull())
-                .select("ddl")
-                .distinct()
-                .collect()
-            ]
-            for ddl in ddls:
-                fields = list(parse_ddl(ddl))
-                self.target.add_columns(fields)
+        # -- 5. SCD2 history ---------------------------------------
+        if self.history is not None and not self.history.has_batch(bkey):
+            stats["history"] = apply_history(self.history, deduped, batch_id)
+
+        # -- 6. dead letter + lineage ------------------------------
+        if not self.dead_letter.has_batch(bkey):
+            dl = dead.select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "doc_id",
+                "lsn",
+                "op",
+                F.to_json(F.struct(*[c for c in dead.columns])).alias("raw"),
+                failure.alias("failure_reason"),
+                F.current_timestamp().alias("quarantined_at"),
+            )
+            self.dead_letter.append(dl, batch_key=bkey)
+
+        if self.collect_metrics and not self.lineage.has_batch(bkey):
+            per_part = non_schema.groupBy("partition").agg(
+                F.count("*").alias("_all"),
+                F.sum(F.when(failure.isNotNull(), 1).otherwise(0)).alias(
+                    "rows_dead_letter"
+                ),
+                F.count_distinct(F.col("doc_id"), F.col("lsn")).alias("_distinct"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            lin = per_part.select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.col("partition"),
+                F.col("_all").cast("long").alias("rows_in"),
+                (F.col("_all") - F.col("_distinct")).cast("long").alias("rows_deduped"),
+                F.col("rows_dead_letter").cast("long"),
+                "min_lsn",
+                "max_lsn",
+                F.current_timestamp().alias("applied_at"),
+            )
+            self.lineage.append(lin, batch_key=bkey)
+
+        # -- 7. maintenance ----------------------------------------
+        self._batches_applied += 1
+        if self.compact_every and self._batches_applied % self.compact_every == 0:
+            stats["compacted"] = self.target.compact(self.max_files_per_bucket)
+            if self.history is not None:
+                self.history.compact(self.max_files_per_bucket)
+            if self.expire_snapshots:
+                self.target.expire_snapshots(keep_last=2)
                 if self.history is not None:
-                    self.history.add_columns(fields)
+                    self.history.expire_snapshots(keep_last=2)
 
-            non_schema = df.filter(~is_schema)
-            events = non_schema.filter(failure.isNull())
-            dead = non_schema.filter(failure.isNotNull())
+        deduped.unpersist()
+        return stats
 
-            # -- 3. arrival dedup --------------------------------------
-            deduped = dedup_arrivals(events).persist()
-
-            # -- 4. LWW reduce + MERGE ---------------------------------
-            stats: dict = {"batch_id": batch_id}
-            if not self.target.has_batch(bkey):
-                reduced = lww_reduce(
-                    deduped, key_col="doc_id", order_col="lsn",
-                    salt_buckets=self.salt_buckets,
-                )
-                stats["merge"] = merge_into(self.target, reduced, batch_id)
-
-            # -- 5. SCD2 history ---------------------------------------
-            if self.history is not None and not self.history.has_batch(bkey):
-                stats["history"] = apply_history(self.history, deduped, batch_id)
-
-            # -- 6. dead letter + lineage ------------------------------
-            if not self.dead_letter.has_batch(bkey):
-                dl = dead.select(
-                    F.lit(batch_id).cast("long").alias("batch_id"),
-                    "doc_id",
-                    "lsn",
-                    "op",
-                    F.to_json(F.struct(*[c for c in dead.columns])).alias("raw"),
-                    failure.alias("failure_reason"),
-                    F.current_timestamp().alias("quarantined_at"),
-                )
-                self.dead_letter.append(dl, batch_key=bkey)
-
-            if self.collect_metrics and not self.lineage.has_batch(bkey):
-                per_part = non_schema.groupBy("partition").agg(
-                    F.count("*").alias("_all"),
-                    F.sum(F.when(failure.isNotNull(), 1).otherwise(0)).alias(
-                        "rows_dead_letter"
-                    ),
-                    F.count_distinct(F.col("doc_id"), F.col("lsn")).alias("_distinct"),
-                    F.min("lsn").alias("min_lsn"),
-                    F.max("lsn").alias("max_lsn"),
-                )
-                lin = per_part.select(
-                    F.lit(batch_id).cast("long").alias("batch_id"),
-                    F.col("partition"),
-                    F.col("_all").cast("long").alias("rows_in"),
-                    (F.col("_all") - F.col("_distinct")).cast("long").alias("rows_deduped"),
-                    F.col("rows_dead_letter").cast("long"),
-                    "min_lsn",
-                    "max_lsn",
-                    F.current_timestamp().alias("applied_at"),
-                )
-                self.lineage.append(lin, batch_key=bkey)
-
-            # -- 7. maintenance ----------------------------------------
-            self._batches_applied += 1
-            if self.compact_every and self._batches_applied % self.compact_every == 0:
-                stats["compacted"] = self.target.compact(self.max_files_per_bucket)
-                if self.history is not None:
-                    self.history.compact(self.max_files_per_bucket)
-                if self.expire_snapshots:
-                    self.target.expire_snapshots(keep_last=2)
-                    if self.history is not None:
-                        self.history.expire_snapshots(keep_last=2)
-
-            deduped.unpersist()
-            return stats
-        finally:
-            df.unpersist()
 
     # ------------------------------------------------------------------
     def current_state(self) -> DataFrame:

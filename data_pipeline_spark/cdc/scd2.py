@@ -14,12 +14,26 @@ previously-current row, and a late-arriving older version slots into the
 middle of the chain (bi-temporal correction) — so closure is recomputed
 for every affected key.
 
-The closure kernel runs as **groupBy(bucket).applyInPandas over Arrow
-batches** (north_star requirement).  Grouping by storage bucket rather
-than by doc_id keeps groups large (thousands of keys per Arrow batch,
-vectorized pandas inside — no per-row Python and no per-key UDF-call
-overhead), and aligns the shuffle with the table's bucket layout so the
-rewrite needs no second shuffle.
+Scale design — the closure kernel is NARROW.  Token payloads never
+cross the JVM↔Python boundary and the full-width table data is shuffled
+exactly once (the bucketed write):
+
+  1. affected_docs = keys in this batch (broadcast);
+  2. existing versions of those keys, projected to (key, lsn, op,
+     valid_from) — a column-pruned scan, parquet reads 4 columns;
+  3. replay guard: new versions already present are dropped by a
+     broadcast anti-join (cross-batch at-least-once duplicates);
+  4. **groupBy().applyInPandas over Arrow batches** (north_star
+     requirement) computes lead(valid_from)-1s per key on the narrow
+     frame — thousands of keys per Arrow batch, vectorized pandas, no
+     per-row Python;
+  5. the closure deltas are broadcast-joined back onto the full-width
+     union (map-side, no shuffle); unaffected keys keep stored ranges;
+  6. bucketed copy-on-write commit (the one wide shuffle).
+
+For enormous batches (more changed keys than is broadcastable) the
+``broadcast_max_docs`` gate falls back to a shuffle-based variant of
+the same algorithm.
 """
 
 from __future__ import annotations
@@ -28,6 +42,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ..table.laketable import BUCKET_COL, LakeTable
 from .schema import END_OF_TIME
@@ -35,50 +57,76 @@ from .schema import END_OF_TIME
 _END_OF_TIME_TS = pd.Timestamp(END_OF_TIME).as_unit("us")
 
 
-def _close_versions(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized validity-range closure for one bucket of keys.
+def _make_close_kernel(key: str, group_col: str):
+    """Vectorized validity-range closure over a narrow (key, lsn, op,
+    valid_from) frame — one group = many keys (kept large by grouping on
+    a hash of the key, so Arrow batch + pandas-vector costs amortize).
 
-    valid_to = lead(valid_from) over (partition by doc_id order by lsn)
+    valid_to = lead(valid_from) over (partition by key order by lsn)
     minus 1s (close_prior_versions.sql:22,44); last version stays open at
     END_OF_TIME and is current unless it is a delete tombstone.
 
-    Timestamps are handled in microsecond units throughout: Spark
-    timestamps are µs-precision and the 9999-12-31 sentinel overflows
-    pandas' default datetime64[ns].
+    Timestamps are microsecond-unit throughout: Spark timestamps are µs
+    and the 9999-12-31 sentinel overflows pandas' datetime64[ns].
     """
     import numpy as np
 
-    pdf = pdf.sort_values(["doc_id", "lsn"], kind="mergesort")
-    pdf["valid_from_utc"] = pdf["valid_from_utc"].astype("datetime64[us]")
-    nxt = (
-        pdf.groupby("doc_id")["valid_from_utc"]
-        .shift(-1)
-        .to_numpy(dtype="datetime64[us]")
+    def _close(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=[group_col])
+        # replays may re-deliver an existing (key, lsn): copies are
+        # identical, keep one
+        pdf = pdf.drop_duplicates([key, "lsn"])
+        pdf = pdf.sort_values([key, "lsn"], kind="mergesort")
+        pdf["valid_from_utc"] = pdf["valid_from_utc"].astype("datetime64[us]")
+        nxt = (
+            pdf.groupby(key)["valid_from_utc"]
+            .shift(-1)
+            .to_numpy(dtype="datetime64[us]")
+        )
+        missing = pd.isna(nxt)
+        valid_to = nxt - np.timedelta64(1, "s")
+        valid_to[missing] = np.datetime64(END_OF_TIME.replace(" ", "T"), "us")
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                "lsn": pdf["lsn"].to_numpy(),
+                "valid_to_utc": valid_to,
+                "is_current": missing & (pdf["op"] != "D").to_numpy(),
+            }
+        )
+
+    return _close
+
+
+def _closure_schema(key: str) -> StructType:
+    return StructType(
+        [
+            StructField(key, StringType()),
+            StructField("lsn", LongType()),
+            StructField("valid_to_utc", TimestampType()),
+            StructField("is_current", BooleanType()),
+        ]
     )
-    missing = pd.isna(nxt)
-    valid_to = nxt - np.timedelta64(1, "s")
-    valid_to[missing] = np.datetime64(END_OF_TIME.replace(" ", "T"), "us")
-    pdf["valid_to_utc"] = valid_to
-    pdf["is_current"] = missing & (pdf["op"] != "D").to_numpy()
-    return pdf
 
 
 def apply_history(
     history: LakeTable,
     new_versions: DataFrame,
     batch_id: int | str,
+    broadcast_max_docs: int = 500_000,
+    closure_groups: int = 64,
 ) -> dict:
-    """Append this batch's versions and re-close affected buckets.
+    """Append this batch's versions and re-close affected keys.
 
     `new_versions` must be arrival-deduped (one row per (doc_id, lsn))
     and carry doc_id, lsn, op, payload columns, and ingest_ts.
     """
     key = history.key_col
+    derived = (key, "lsn", "op", "valid_from_utc", "valid_to_utc", "is_current")
     payload_cols = [
         f.name
         for f in history.schema.fields
-        if f.name in new_versions.columns
-        and f.name not in (key, "lsn", "op", "valid_from_utc", "valid_to_utc", "is_current")
+        if f.name in new_versions.columns and f.name not in derived
     ]
 
     nv = new_versions.select(
@@ -87,34 +135,56 @@ def apply_history(
         "op",
         *payload_cols,
         F.col("ingest_ts").alias("valid_from_utc"),
-    )
-    nv = nv.withColumn("_b", history.bucket_of(key))
-    affected = [r[0] for r in nv.select("_b").distinct().collect()]
+    ).withColumn(BUCKET_COL, history.bucket_of(key))
+    affected = [r[0] for r in nv.select(BUCKET_COL).distinct().collect()]
     if not affected:
         history.record_batch(str(batch_id), {"versions": 0})
         return {"buckets": []}
 
-    existing = history.read(buckets=affected).drop("valid_to_utc", "is_current")
-    nv = nv.drop("_b")
-    for f in history.schema.fields:
-        if f.name not in nv.columns and f.name not in ("valid_to_utc", "is_current"):
-            nv = nv.withColumn(f.name, F.lit(None).cast(f.dataType))
-    nv = nv.select(*existing.columns)
+    affected_docs = nv.select(key).distinct()
+    n_docs = affected_docs.count()
+    small = n_docs <= broadcast_max_docs
+    maybe_bcast = F.broadcast if small else (lambda df: df)
 
-    combined = existing.unionByName(nv)
-    # a replayed batch may re-deliver versions already in the table —
-    # idempotent under this dedup (first copy wins; copies are identical)
-    combined = combined.dropDuplicates([key, "lsn"])
-    combined = combined.withColumn(BUCKET_COL, history.bucket_of(key))
+    existing = history.read(buckets=affected)
 
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    out_schema = StructType(
-        list(history.schema.fields) + [StructField(BUCKET_COL, IntegerType())]
+    # narrow frame: existing versions of affected keys + the new ones
+    ex_narrow = (
+        existing.select(key, "lsn", "op", "valid_from_utc")
+        .join(maybe_bcast(affected_docs), key, "semi")
+        .persist()
     )
-    closed = combined.groupBy(BUCKET_COL).applyInPandas(
-        _close_versions, schema=out_schema
-    ).drop(BUCKET_COL)
+    nv_filtered = nv.join(
+        maybe_bcast(ex_narrow.select(key, "lsn")), [key, "lsn"], "left_anti"
+    )
+    all_narrow = ex_narrow.unionByName(
+        nv_filtered.select(key, "lsn", "op", "valid_from_utc")
+    ).withColumn("_g", F.pmod(F.xxhash64(F.col(key)), F.lit(closure_groups)))
+
+    closure = all_narrow.groupBy("_g").applyInPandas(
+        _make_close_kernel(key, "_g"), schema=_closure_schema(key)
+    )
+
+    # full-width union; new rows get their ranges from the closure join
+    nv_full = nv_filtered.drop(BUCKET_COL)
+    for f in history.schema.fields:
+        if f.name not in nv_full.columns:
+            nv_full = nv_full.withColumn(f.name, F.lit(None).cast(f.dataType))
+    combined = existing.unionByName(nv_full.select(*existing.columns))
+
+    x = closure.withColumnsRenamed(
+        {"valid_to_utc": "_new_vt", "is_current": "_new_ic"}
+    )
+    closed = combined.join(maybe_bcast(x), [key, "lsn"], "left").select(
+        *[
+            F.coalesce(F.col("_new_vt"), F.col("valid_to_utc")).alias("valid_to_utc")
+            if f.name == "valid_to_utc"
+            else F.coalesce(F.col("_new_ic"), F.col("is_current")).alias("is_current")
+            if f.name == "is_current"
+            else F.col(f.name)
+            for f in history.schema.fields
+        ]
+    )
 
     history.replace_buckets(
         closed,
@@ -122,7 +192,8 @@ def apply_history(
         batch_key=str(batch_id),
         batch_info={"buckets": sorted(affected)},
     )
-    return {"buckets": sorted(affected)}
+    ex_narrow.unpersist()
+    return {"buckets": sorted(affected), "changed_docs": n_docs}
 
 
 def as_of(history_df: DataFrame, ts) -> DataFrame:

@@ -229,23 +229,35 @@ class LakeTable:
     # ------------------------------------------------------------------
     # write / commit
     # ------------------------------------------------------------------
-    def _write_data_files(self, df: DataFrame) -> dict[int, list[str]]:
+    def _write_data_files(
+        self, df: DataFrame, prepartitioned: bool = False
+    ) -> dict[int, list[str]]:
         """Materialise df (bucketed on the key) as parquet; return
         bucket -> new relative file paths.  Files land in a staging dir
         first and are renamed into data/ (same-filesystem rename, cheap);
-        they become visible only via the subsequent metadata publish."""
+        they become visible only via the subsequent metadata publish.
+
+        prepartitioned=True asserts the caller's df already carries
+        BUCKET_COL and is hash-partitioned by it (e.g. the output of a
+        repartition-by-bucket merge), so the write needs no shuffle and
+        still produces few files per bucket."""
+        keep_bucket = prepartitioned and BUCKET_COL in df.columns
         for field in self.schema.fields:
             if field.name not in df.columns:
                 df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
-        df = df.select(*[F.col(f.name).cast(f.dataType) for f in self.schema.fields])
-        df = df.withColumn(BUCKET_COL, self.bucket_of())
+        cols = [F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+        if keep_bucket:
+            df = df.select(*cols, F.col(BUCKET_COL))
+        else:
+            df = df.select(*cols).withColumn(BUCKET_COL, self.bucket_of())
+            # repartition by bucket so each bucket's rows coalesce into
+            # few files (one writer task per bucket at sandbox scale; at
+            # 100 TB you'd allow several files per bucket per commit —
+            # still fine, compaction bounds the count).
+            df = df.repartition(BUCKET_COL)
 
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
-        # repartition by bucket so each bucket's rows coalesce into few
-        # files (one writer task per bucket at sandbox scale; at 100 TB
-        # you'd allow several files per bucket per commit — still fine,
-        # compaction bounds the count).
-        df.repartition(BUCKET_COL).write.partitionBy(BUCKET_COL).parquet(stage)
+        df.write.partitionBy(BUCKET_COL).parquet(stage)
 
         new_files: dict[int, list[str]] = {}
         for entry in sorted(os.listdir(stage)):
@@ -300,12 +312,13 @@ class LakeTable:
         buckets: Iterable[int],
         batch_key: str | None = None,
         batch_info: dict[str, Any] | None = None,
+        prepartitioned: bool = False,
     ) -> None:
         """Copy-on-write commit: new content for `buckets`, all other
         buckets' files carried forward untouched.  Data for the replaced
         buckets MUST all be present in df (caller merges old+new)."""
         replaced = set(int(b) for b in buckets)
-        new_files = self._write_data_files(df)
+        new_files = self._write_data_files(df, prepartitioned=prepartitioned)
         merged = {
             b: fs for b, fs in self.snapshot.files.items() if b not in replaced
         }
