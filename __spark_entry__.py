@@ -355,6 +355,172 @@ def _q_lsh_ann_topk(spark, sf):
     )
 
 
+def _q_two_stage_fallback_join(spark, sf):
+    """J2 — join by id when present, else by normalised/display name
+    (trades_enriched.sql:199-212)."""
+    from data_pipeline_spark.operators.joins import two_stage_fallback_join
+
+    ev = _load(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 150 + 1)
+        .cast("long")
+        .alias("c_custkey"),
+        F.format_string(
+            "Customer#%09d", (F.col("user_id") % 150 + 1).cast("int")
+        ).alias("cust_name"),
+    )
+    dim = _load(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    out = two_stage_fallback_join(
+        ev, dim, "c_custkey", ev.cust_name, F.col("c_name"), "c_mktsegment"
+    )
+    return out.select(
+        "event_id", F.col("c_mktsegment_resolved").alias("segment")
+    )
+
+
+def _q_calendar_dim(spark, sf):
+    """F8/F9 — date spine + calendar attributes (dim_date.sql:14-77)."""
+    from data_pipeline_spark.operators.joins import date_spine
+
+    d = date_spine(spark, "2024-01-01", "2024-03-31")
+    return d.select(
+        F.col("d").alias("day"),
+        F.year("d").cast("long").alias("yr"),
+        F.quarter("d").cast("long").alias("qtr"),
+        F.month("d").cast("long").alias("mo"),
+        F.dayofmonth("d").cast("long").alias("dom"),
+        (F.weekday("d") + 1).cast("long").alias("iso_dow"),
+        F.weekofyear("d").cast("long").alias("iso_week"),
+        (F.weekday("d") >= 5).alias("is_weekend"),
+    )
+
+
+def _q_filename_parse(spark, sf):
+    """F10 — regex feed-name / business-date extraction from filenames
+    (stg_load_metadata.sql:36-75)."""
+    ev = _load(spark, sf, "events").select(
+        "event_id",
+        F.format_string(
+            "%s_%s.csv", F.col("event_type"), F.date_format("ts", "yyyyMMdd")
+        ).alias("fname"),
+    )
+    return ev.select(
+        "event_id",
+        "fname",
+        F.regexp_replace("fname", r"_\d{8}.*\.csv$", "").alias("feed_name"),
+        F.to_date(F.regexp_extract("fname", r"_(\d{8})", 1), "yyyyMMdd").alias(
+            "business_date"
+        ),
+    )
+
+
+def _q_drift_extra_json(spark, sf):
+    """F12 — unknown/drift columns serialised to an `_extra` JSON column
+    (basic_orchestrator/orchestrator/main.py:164-168), vectorized."""
+    ev = _load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_type", "user_id")).alias("_extra"),
+    )
+
+
+def _q_safe_math(spark, sf):
+    """F14/P4 — safe_divide = a / nullif(b, 0) (macros/shim/strings.sql:8-13)."""
+    ev = _load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), F.pmod("user_id", F.lit(5))), 4).alias(
+            "safe_ratio"
+        ),
+    )
+
+
+def _q_extract_window(spark, sf):
+    """S11 — 7-day rolling extract window relative to the data's max ts
+    (surveillance_extract.sql:66, extract.py:39-136)."""
+    ev = _load(spark, sf, "events")
+    mx = ev.agg(F.max("ts").alias("_mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("_mx") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def _q_sentinel_union(spark, sf):
+    """U3 — sentinel row + distinct dimension values (dim_extra.sql:23-41)."""
+    ev = _load(spark, sf, "events")
+    vals = ev.select(
+        F.col("event_type").alias("etype_key"),
+        F.upper("event_type").alias("etype"),
+    ).distinct()
+    sentinel = spark.createDataFrame([("-1", "UNKNOWN")], "etype_key string, etype string")
+    return sentinel.unionByName(vals)
+
+
+def _q_time_bucket_rollup(spark, sf):
+    """Hypertable-style time-bucket rollup: tumbling 6h windows
+    (streaming windowed agg analogue, run in batch)."""
+    ev = _load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _q_media_features(spark, sf):
+    """Multimodal plumbing: binary payloads → mapInPandas feature
+    extraction (decode stubbed — see operators/multimodal.py).  The
+    feature vector is deterministic but not SQL-expressible → no oracle
+    (rows-only check); n_bytes/determinism are pytest-verified."""
+    from data_pipeline_spark.operators.multimodal import extract_features
+
+    d = _load(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    )
+
+
+def _q_frame_sampling(spark, sf):
+    """Multimodal: video frame-sample plan via sequence/explode
+    (operators/multimodal.py sample_frames)."""
+    from data_pipeline_spark.operators.multimodal import sample_frames
+
+    d = _load(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        ((F.col("n_chars") % 50 + 1) * 500).cast("long").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=1000)
+
+
 def _q_rules_quarantine(spark, sf):
     from data_pipeline_spark.sources.rules import Rule, apply_rules
 
@@ -401,6 +567,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_near_dup_pairs": _q_ivf_near_dup_pairs,
     "lsh_ann_topk": _q_lsh_ann_topk,
     "rules_quarantine": _q_rules_quarantine,
+    "two_stage_fallback_join": _q_two_stage_fallback_join,
+    "calendar_dim": _q_calendar_dim,
+    "filename_parse": _q_filename_parse,
+    "drift_extra_json": _q_drift_extra_json,
+    "safe_math": _q_safe_math,
+    "extract_window": _q_extract_window,
+    "sentinel_union": _q_sentinel_union,
+    "time_bucket_rollup": _q_time_bucket_rollup,
+    "media_features": _q_media_features,
+    "frame_sampling": _q_frame_sampling,
 }
 
 
@@ -746,6 +922,86 @@ WHERE NOT coalesce(value > 50, FALSE)
    OR NOT coalesce(user_id IS NOT NULL, FALSE)
 """
 
+    sql["two_stage_fallback_join"] = """
+WITH f AS (
+  SELECT event_id,
+         CASE WHEN user_id % 7 = 0 THEN NULL
+              ELSE CAST(user_id % 150 + 1 AS BIGINT) END AS cust_id,
+         printf('Customer#%09d', CAST(user_id % 150 + 1 AS INT)) AS cust_name
+  FROM events),
+by_id AS (
+  SELECT f.event_id, f.cust_id, f.cust_name, c.c_mktsegment AS v_id
+  FROM f LEFT JOIN customer c
+    ON f.cust_id IS NOT NULL AND f.cust_id = c.c_custkey),
+resolved AS (
+  SELECT b.event_id, coalesce(b.v_id, c2.c_mktsegment) AS segment
+  FROM by_id b LEFT JOIN customer c2
+    ON b.cust_id IS NULL AND b.cust_name = c2.c_name)
+SELECT event_id, segment FROM resolved
+"""
+
+    sql["calendar_dim"] = """
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                                INTERVAL 1 DAY))::DATE AS day)
+SELECT day, CAST(year(day) AS BIGINT) AS yr, CAST(quarter(day) AS BIGINT) AS qtr,
+       CAST(month(day) AS BIGINT) AS mo, CAST(day(day) AS BIGINT) AS dom,
+       CAST(isodow(day) AS BIGINT) AS iso_dow,
+       CAST(weekofyear(day) AS BIGINT) AS iso_week,
+       isodow(day) >= 6 AS is_weekend
+FROM spine
+"""
+
+    sql["filename_parse"] = r"""
+WITH f AS (
+  SELECT event_id, event_type || '_' || strftime(ts, '%Y%m%d') || '.csv' AS fname
+  FROM events)
+SELECT event_id, fname,
+       regexp_replace(fname, '_\d{8}.*\.csv$', '') AS feed_name,
+       strptime(regexp_extract(fname, '_(\d{8})', 1), '%Y%m%d')::DATE AS business_date
+FROM f
+"""
+
+    sql["drift_extra_json"] = """
+SELECT event_id,
+       CAST(to_json(struct_pack(event_type := event_type, user_id := user_id))
+            AS VARCHAR) AS _extra
+FROM events
+"""
+
+    sql["safe_math"] = """
+SELECT event_id, round(value / nullif(user_id % 5, 0), 4) AS safe_ratio
+FROM events
+"""
+
+    sql["extract_window"] = """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY 1, 2
+"""
+
+    sql["sentinel_union"] = """
+SELECT '-1' AS etype_key, 'UNKNOWN' AS etype
+UNION ALL
+SELECT DISTINCT event_type, upper(event_type) FROM events
+"""
+
+    sql["time_bucket_rollup"] = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    sql["frame_sampling"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       unnest(generate_series(0, (n_chars % 50 + 1) * 500 - 1, 1000)) AS frame_ts_ms
+FROM documents
+"""
+
     # lsh_ann_topk: hyperplanes are generated driver-side (md5-derived);
-    # intentionally no SQL twin → driver records rows-only check.
+    # media_features: the stubbed decode emits a byte-histogram feature
+    # that SQL cannot reproduce — both intentionally have no SQL twin →
+    # driver records rows-only checks.
     return sql
