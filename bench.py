@@ -71,11 +71,11 @@ REPLAY_CFG = dict(
     n_docs=40_000,
     seed=7,
     n_partitions=32,
-    n_files=8,
+    n_files=16,
     min_tok=32,
     max_tok=192,
 )
-REPLAY_FILES_PER_BATCH = 4
+REPLAY_FILES_PER_BATCH = 8
 REPLAY_BUCKETS = 64
 
 
@@ -154,20 +154,30 @@ def _worker(cpus: int, log_dir: str, work_dir: str, n_events: int) -> None:
         spark.stop()
 
 
-def run_scaling(log_dir: str, n_events: int, levels=(8, 32)) -> dict:
-    """Same job, same input, two parallelism levels, separate JVMs."""
+def run_scaling(log_dir: str, n_events: int, levels=(2, 8)) -> dict:
+    """Same job, same input, two parallelism levels, separate JVMs.
+
+    Each level is confined to exactly that many CPUs with taskset (when
+    available): an unconfined local[N] JVM still runs JIT-compiler, GC
+    and Python-worker processes on ALL host cores, which silently
+    inflates the small-N baseline and understates scaling.  Confinement
+    is the faithful model of an N-core vs 4N-core cluster."""
+    import shutil as _sh
+
+    have_taskset = _sh.which("taskset") is not None
     results = {}
     for cpus in levels:
         with tempfile.TemporaryDirectory(prefix=f"bench-scale-{cpus}-") as wd:
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--replay-only", "--cpus", str(cpus),
+                "--log-dir", log_dir, "--work-dir", wd,
+                "--n-events", str(n_events),
+            ]
+            if have_taskset:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [
-                    sys.executable, os.path.abspath(__file__),
-                    "--replay-only", "--cpus", str(cpus),
-                    "--log-dir", log_dir, "--work-dir", wd,
-                    "--n-events", str(n_events),
-                ],
-                capture_output=True, text=True, check=True,
-                cwd=REPO_ROOT,
+                cmd, capture_output=True, text=True, check=True, cwd=REPO_ROOT
             )
             results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     lo, hi = min(levels), max(levels)
@@ -177,6 +187,7 @@ def run_scaling(log_dir: str, n_events: int, levels=(8, 32)) -> dict:
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
         "core_ratio": ratio,
+        "cpu_confinement": "taskset" if have_taskset else "none",
         "scaling_efficiency": round(eff, 3),
     }
 

@@ -67,18 +67,29 @@ def lww_reduce(
     )
     order_key = F.struct(F.col(order_col).alias("o1"), tie.alias("o2"))
 
+    # Each phase aggregates with max_by ONLY: mixing max_by (typed-
+    # imperative) with a declarative max(struct) forces SortAggregate —
+    # a per-partition sort of the full batch.  Pure max_by runs as
+    # ObjectHashAggregate (hash-based, map-side combine); phase 2
+    # recomputes the ordering from the packed struct instead of carrying
+    # a second aggregate.
+    def _reorder(row: F.Column) -> F.Column:
+        tie2 = (
+            F.coalesce(
+                row["ingest_ts"], F.lit("1900-01-01 00:00:00").cast("timestamp")
+            )
+            if "ingest_ts" in df.columns
+            else row[order_col]
+        )
+        return F.struct(row[order_col].alias("o1"), tie2.alias("o2"))
+
     if salt_buckets and salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
-        phase1 = (
-            df.groupBy(F.col(key_col), salt.alias("_salt"))
-            .agg(
-                F.max_by(packed, order_key).alias("_row"),
-                F.max(order_key).alias("_ord"),
-            )
+        phase1 = df.groupBy(F.col(key_col), salt.alias("_salt")).agg(
+            F.max_by(packed, order_key).alias("_row")
         )
-        out = (
-            phase1.groupBy(key_col)
-            .agg(F.max_by(F.col("_row"), F.col("_ord")).alias("_row"))
+        out = phase1.groupBy(key_col).agg(
+            F.max_by(F.col("_row"), _reorder(F.col("_row"))).alias("_row")
         )
     else:
         out = df.groupBy(key_col).agg(F.max_by(packed, order_key).alias("_row"))

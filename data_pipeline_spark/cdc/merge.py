@@ -46,10 +46,13 @@ def merge_into(
     batch_id: int | str,
     shuffle_partitions: int | None = None,
 ) -> dict:
-    """Apply a per-key-reduced change set to the table; returns metrics.
+    """Apply a change set to the table; returns metrics.
 
-    `changes` must have exactly one row per doc_id (use lww_reduce) and
-    carry: doc_id, lsn, op, and the table's payload columns.
+    `changes` carries doc_id, lsn, op, and the table's payload columns.
+    It MAY contain multiple versions per doc_id: the per-(bucket, key)
+    max_by collapses them map-side before the shuffle (partial
+    aggregation is the hot-key salting), so a pre-reduced input
+    (lww_reduce) is supported but not required.
     """
     key = table.key_col
     payload_cols = [
@@ -60,7 +63,7 @@ def merge_into(
     meta_cols = [f for f in table.schema.fields if f.name.startswith("_")]
 
     d = changes.withColumn(BUCKET_COL, table.bucket_of(key))
-    affected = [r[0] for r in d.select(BUCKET_COL).distinct().collect()]
+    affected = list(d.agg(F.collect_set(BUCKET_COL).alias("bs")).first()["bs"])
     if not affected:
         table.record_batch(str(batch_id), {"rows": 0})
         return {"buckets": []}
@@ -105,8 +108,14 @@ def merge_into(
     # matching MERGE's `s.lsn > t.lsn` guard)
     order_key = F.struct(F.col("lsn").alias("o1"), F.col("_prio").alias("o2"))
 
-    nparts = shuffle_partitions or int(
-        changes.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # 2× the bucket count so (with high probability) no two buckets
+    # hash-collide into one partition: a collision halves effective
+    # parallelism (a straggler task carries two buckets' rows) and at
+    # 64 buckets / 32 partitions some task WILL carry 3-4 buckets.
+    # Empty partitions cost ~nothing.
+    nparts = shuffle_partitions or max(
+        2 * table.n_buckets,
+        int(changes.sparkSession.conf.get("spark.sql.shuffle.partitions")),
     )
     merged = (
         combined.repartition(nparts, BUCKET_COL)

@@ -6,7 +6,9 @@ re-expression):
   1. validation split → dead_letter (T9; parsers.py:114-158 analogue)
   2. SCHEMA records → additive schema evolution on target+history (C8)
   3. arrival dedup at (doc_id, lsn) — first delivery wins (W1/T2)
-  4. LWW reduce per doc_id (salted, W2) → bucket-pruned MERGE (C1/C9)
+  4. bucket-pruned MERGE (C1/C9) whose per-(bucket, key) max_by IS the
+     LWW reduce (W2) — map-side partial aggregation salts hot keys
+
   5. all versions → SCD2 history append + closure (C5/C6)
   6. per-partition lineage/metrics row (C10) + dead-letter append
   7. periodic small-file compaction (north_rule)
@@ -26,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..table.laketable import LakeTable
-from .dedup import dedup_arrivals, lww_reduce
+from .dedup import dedup_arrivals
 from .merge import merge_into
 from .scd2 import apply_history
 from .schema import (
@@ -117,22 +119,31 @@ class CdcPipeline:
 
         # -- 3. arrival dedup --------------------------------------
         deduped = dedup_arrivals(events).persist()
+        deduped.count()  # materialize once, before concurrent consumers
 
-        # -- 4. LWW reduce + MERGE ---------------------------------
+        # -- 4-6. four independent table applies, submitted from
+        # concurrent driver threads: each is its own chain of Spark jobs
+        # (plan → execute → commit) against a DIFFERENT LakeTable, so
+        # driver-side planning/codegen/commit latency overlaps with
+        # cluster compute instead of serializing after it.  Exactly-once
+        # stays per-table (each commit carries the batch manifest).
         stats: dict = {"batch_id": batch_id}
-        if not self.target.has_batch(bkey):
-            reduced = lww_reduce(
-                deduped, key_col="doc_id", order_col="lsn",
-                salt_buckets=self.salt_buckets,
-            )
-            stats["merge"] = merge_into(self.target, reduced, batch_id)
 
-        # -- 5. SCD2 history ---------------------------------------
-        if self.history is not None and not self.history.has_batch(bkey):
-            stats["history"] = apply_history(self.history, deduped, batch_id)
+        def _merge():
+            # the merge's per-(bucket, key) max_by reduce IS the LWW:
+            # multiple versions of a key collapse map-side (partial
+            # aggregation = natural salting for hot keys) before the one
+            # merge shuffle — no separate lww_reduce pass needed.
+            if not self.target.has_batch(bkey):
+                stats["merge"] = merge_into(self.target, deduped, batch_id)
 
-        # -- 6. dead letter + lineage ------------------------------
-        if not self.dead_letter.has_batch(bkey):
+        def _history():
+            if self.history is not None and not self.history.has_batch(bkey):
+                stats["history"] = apply_history(self.history, deduped, batch_id)
+
+        def _dead_letter():
+            if self.dead_letter.has_batch(bkey):
+                return
             dl = dead.select(
                 F.lit(batch_id).cast("long").alias("batch_id"),
                 "doc_id",
@@ -144,7 +155,9 @@ class CdcPipeline:
             )
             self.dead_letter.append(dl, batch_key=bkey)
 
-        if self.collect_metrics and not self.lineage.has_batch(bkey):
+        def _lineage():
+            if not self.collect_metrics or self.lineage.has_batch(bkey):
+                return
             per_part = non_schema.groupBy("partition").agg(
                 F.count("*").alias("_all"),
                 F.sum(F.when(failure.isNotNull(), 1).otherwise(0)).alias(
@@ -165,6 +178,15 @@ class CdcPipeline:
                 F.current_timestamp().alias("applied_at"),
             )
             self.lineage.append(lin, batch_key=bkey)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(fn) for fn in (_merge, _history, _dead_letter, _lineage)
+            ]
+            for f in futures:
+                f.result()  # re-raise the first failure
 
         # -- 7. maintenance ----------------------------------------
         self._batches_applied += 1

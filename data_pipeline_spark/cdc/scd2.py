@@ -136,13 +136,17 @@ def apply_history(
         *payload_cols,
         F.col("ingest_ts").alias("valid_from_utc"),
     ).withColumn(BUCKET_COL, history.bucket_of(key))
-    affected = [r[0] for r in nv.select(BUCKET_COL).distinct().collect()]
+    # one driver job for both planning inputs: touched buckets + key count
+    probe = nv.agg(
+        F.collect_set(BUCKET_COL).alias("bs"),
+        F.count_distinct(F.col(key)).alias("nd"),
+    ).first()
+    affected, n_docs = list(probe["bs"]), int(probe["nd"])
     if not affected:
         history.record_batch(str(batch_id), {"versions": 0})
         return {"buckets": []}
 
     affected_docs = nv.select(key).distinct()
-    n_docs = affected_docs.count()
     small = n_docs <= broadcast_max_docs
     maybe_bcast = F.broadcast if small else (lambda df: df)
 

@@ -56,6 +56,13 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # max_by/min_by (the LWW + merge reduce) are typed-imperative
+        # aggregates → ObjectHashAggregateExec; the default sort-based
+        # fallback kicks in at 128 distinct keys per task, silently
+        # turning every reduce into a per-partition SORT.  Raise it so
+        # the hash path holds for realistic per-task key counts (object
+        # buffers are one packed row per group — bounded by task rows).
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # file-source partition sizing: at 100 TB this is the knob that
         # keeps scan tasks ~128 MB; harmless at sandbox scale.
