@@ -145,6 +145,11 @@ def synth_log(log_dir: str) -> dict:
 def _worker(cpus: int, log_dir: str, work_dir: str, n_events: int) -> None:
     from data_pipeline_spark.session import build_session
 
+    # Heap scales with cores (2 GB/core + 4 GB), mirroring a cluster
+    # where 4N executors bring 4× total memory: a FIXED heap under 4×
+    # the concurrent scan/shuffle buffers OOMs at the high level and
+    # would understate (or crash) the scaling measurement.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{2 * cpus + 4}g")
     spark = build_session(f"bench-replay-{cpus}", cpus=cpus)
     try:
         stats = run_replay(spark, log_dir, work_dir, n_events)

@@ -5,13 +5,12 @@ re-expression):
 
   1. validation split → dead_letter (T9; parsers.py:114-158 analogue)
   2. SCHEMA records → additive schema evolution on target+history (C8)
-  3. arrival dedup at (doc_id, lsn) — first delivery wins (W1/T2)
-  4. bucket-pruned MERGE (C1/C9) whose per-(bucket, key) max_by IS the
-     LWW reduce (W2) — map-side partial aggregation salts hot keys
-
-  5. all versions → SCD2 history append + closure (C5/C6)
-  6. per-partition lineage/metrics row (C10) + dead-letter append
-  7. periodic small-file compaction (north_rule)
+  3. bucket-pruned MERGE (C1/C9) whose per-(bucket, key) max_by IS both
+     the arrival dedup (W1/T2) and the LWW reduce (W2) — map-side
+     partial aggregation salts hot keys
+  4. all versions → SCD2 history append + closure (C5/C6)
+  5. per-partition lineage/metrics row (C10) + dead-letter append
+  6. periodic small-file compaction (north_rule)
 
 Exactly-once: every table commit carries the batch epoch as its
 batch_key inside the atomic snapshot commit (commit manifest, C3).  On
@@ -28,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..table.laketable import LakeTable
-from .dedup import dedup_arrivals
 from .merge import merge_into
 from .scd2 import apply_history
 from .schema import (
@@ -85,12 +83,12 @@ class CdcPipeline:
         """Apply one micro-batch; safe to call again with the same
         batch_id after a crash (exactly-once via commit manifests)."""
         bkey = str(batch_id)
-        # NOTE: df is deliberately NOT persisted — every consumer except
-        # the dedup is column-pruned (ddl scan, dead-letter filter,
-        # lineage agg read a few narrow columns), so re-scanning parquet
-        # is cheaper than materializing the full-width batch (tokens
-        # arrays) into the cache.  `deduped` (full width, reused by merge
-        # and history) is the right thing to cache.
+        # NOTE: df is deliberately NOT persisted or pre-deduplicated —
+        # merge and history each reduce the batch on their own shuffle
+        # (duplicates collapse there), and the remaining consumers (ddl
+        # scan, dead-letter filter, lineage agg) are column-pruned, so
+        # re-scanning parquet beats materializing the full-width batch
+        # (token arrays) into a cache.
         is_schema = F.col("op") == "SCHEMA"
         failure = (
             F.when(F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS), "unknown_op")
@@ -117,9 +115,11 @@ class CdcPipeline:
         events = non_schema.filter(failure.isNull())
         dead = non_schema.filter(failure.isNotNull())
 
-        # -- 3. arrival dedup --------------------------------------
-        deduped = dedup_arrivals(events).persist()
-        deduped.count()  # materialize once, before concurrent consumers
+        # NOTE: no separate arrival-dedup pass — at-least-once duplicate
+        # deliveries collapse inside the merge's max_by reduce (payload-
+        # identical copies) and inside the history apply's kernel +
+        # bucket-exchange reduce (first arrival wins), so the batch is
+        # scanned rather than materialized into a 3×-copied cache.
 
         # -- 4-6. four independent table applies, submitted from
         # concurrent driver threads: each is its own chain of Spark jobs
@@ -135,11 +135,11 @@ class CdcPipeline:
             # aggregation = natural salting for hot keys) before the one
             # merge shuffle — no separate lww_reduce pass needed.
             if not self.target.has_batch(bkey):
-                stats["merge"] = merge_into(self.target, deduped, batch_id)
+                stats["merge"] = merge_into(self.target, events, batch_id)
 
         def _history():
             if self.history is not None and not self.history.has_batch(bkey):
-                stats["history"] = apply_history(self.history, deduped, batch_id)
+                stats["history"] = apply_history(self.history, events, batch_id)
 
         def _dead_letter():
             if self.dead_letter.has_batch(bkey):
@@ -199,7 +199,6 @@ class CdcPipeline:
                 if self.history is not None:
                     self.history.expire_snapshots(keep_last=2)
 
-        deduped.unpersist()
         return stats
 
 

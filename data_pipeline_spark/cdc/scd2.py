@@ -73,10 +73,16 @@ def _make_close_kernel(key: str, group_col: str):
 
     def _close(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=[group_col])
-        # replays may re-deliver an existing (key, lsn): copies are
-        # identical, keep one
-        pdf = pdf.drop_duplicates([key, "lsn"])
-        pdf = pdf.sort_values([key, "lsn"], kind="mergesort")
+        # dedup inside the kernel: at-least-once delivery duplicates of
+        # the same (key, lsn) — and replay re-deliveries of rows already
+        # in the table — collapse to ONE version: the stored row when
+        # present (_is_new=False sorts first), else the first-arrival
+        # copy (min valid_from = min ingest_ts).  The full-width reduce
+        # in apply_history makes the identical pick.
+        pdf = pdf.sort_values(
+            [key, "lsn", "_is_new", "valid_from_utc"], kind="mergesort"
+        )
+        pdf = pdf.drop_duplicates([key, "lsn"], keep="first")
         pdf["valid_from_utc"] = pdf["valid_from_utc"].astype("datetime64[us]")
         nxt = (
             pdf.groupby(key)["valid_from_utc"]
@@ -86,12 +92,28 @@ def _make_close_kernel(key: str, group_col: str):
         missing = pd.isna(nxt)
         valid_to = nxt - np.timedelta64(1, "s")
         valid_to[missing] = np.datetime64(END_OF_TIME.replace(" ", "T"), "us")
+        is_current = missing & (pdf["op"] != "D").to_numpy()
+        # DELTA output: only rows whose validity actually changed — new
+        # versions and neighbours of inserts.  In an append-mostly
+        # stream that is O(batch), not O(history of affected keys),
+        # which keeps the join-back broadcast small.  Stored validity
+        # arrives as exact int64 µs (-1 for new rows): the 9999-12-31
+        # sentinel overflows a ns-datetime and loses precision in
+        # float64, int64 µs does neither.
+        stored_vt_us = pdf["_stored_vt_us"].to_numpy(dtype="int64")
+        stored_ic = pdf["_stored_ic"].to_numpy(dtype="bool")
+        valid_to_us = valid_to.astype("datetime64[us]").astype("int64")
+        changed = (
+            pdf["_is_new"].to_numpy(dtype="bool")
+            | (stored_vt_us != valid_to_us)
+            | (stored_ic != is_current)
+        )
         return pd.DataFrame(
             {
-                key: pdf[key].to_numpy(),
-                "lsn": pdf["lsn"].to_numpy(),
-                "valid_to_utc": valid_to,
-                "is_current": missing & (pdf["op"] != "D").to_numpy(),
+                key: pdf[key].to_numpy()[changed],
+                "lsn": pdf["lsn"].to_numpy()[changed],
+                "valid_to_utc": valid_to[changed],
+                "is_current": is_current[changed],
             }
         )
 
@@ -115,11 +137,17 @@ def apply_history(
     batch_id: int | str,
     broadcast_max_docs: int = 500_000,
     closure_groups: int = 64,
+    shuffle_partitions: int | None = None,
 ) -> dict:
     """Append this batch's versions and re-close affected keys.
 
-    `new_versions` must be arrival-deduped (one row per (doc_id, lsn))
-    and carry doc_id, lsn, op, payload columns, and ingest_ts.
+    `new_versions` is the RAW validated event stream — it may contain
+    at-least-once duplicate deliveries of a (doc_id, lsn) and replays of
+    versions already in the table; both collapse here (first arrival /
+    stored row wins) with no separate dedup pass: the narrow closure
+    kernel dedups in pandas, and the full-width reduce rides the write's
+    repartition-by-bucket exchange, so the whole apply still costs ONE
+    full-width shuffle.
     """
     key = history.key_col
     derived = (key, "lsn", "op", "valid_from_utc", "valid_to_utc", "is_current")
@@ -152,34 +180,81 @@ def apply_history(
 
     existing = history.read(buckets=affected)
 
-    # narrow frame: existing versions of affected keys + the new ones
-    ex_narrow = (
-        existing.select(key, "lsn", "op", "valid_from_utc")
-        .join(maybe_bcast(affected_docs), key, "semi")
-        .persist()
-    )
-    nv_filtered = nv.join(
-        maybe_bcast(ex_narrow.select(key, "lsn")), [key, "lsn"], "left_anti"
-    )
+    # narrow frame: existing versions of affected keys + the new ones;
+    # stored validity rides along so the kernel can emit only CHANGED
+    # rows (delta closure) — the join-back broadcast then scales with
+    # the batch, not with the full history of the affected keys
+    ex_narrow = existing.select(
+        key,
+        "lsn",
+        "op",
+        "valid_from_utc",
+        F.coalesce(F.unix_micros("valid_to_utc"), F.lit(-1)).alias("_stored_vt_us"),
+        F.coalesce(F.col("is_current"), F.lit(False)).alias("_stored_ic"),
+        F.lit(False).alias("_is_new"),
+    ).join(maybe_bcast(affected_docs), key, "semi")
     all_narrow = ex_narrow.unionByName(
-        nv_filtered.select(key, "lsn", "op", "valid_from_utc")
+        nv.select(
+            key,
+            "lsn",
+            "op",
+            "valid_from_utc",
+            F.lit(-1).cast("long").alias("_stored_vt_us"),
+            F.lit(False).alias("_stored_ic"),
+            F.lit(True).alias("_is_new"),
+        )
     ).withColumn("_g", F.pmod(F.xxhash64(F.col(key)), F.lit(closure_groups)))
 
     closure = all_narrow.groupBy("_g").applyInPandas(
         _make_close_kernel(key, "_g"), schema=_closure_schema(key)
     )
 
-    # full-width union; new rows get their ranges from the closure join
-    nv_full = nv_filtered.drop(BUCKET_COL)
+    # full-width union (duplicates still present), reduced to one row
+    # per (key, lsn) on the write's bucket exchange: stored row wins,
+    # else first-arrival copy — the same pick as the kernel's dedup
+    nv_full = nv.drop(BUCKET_COL)
     for f in history.schema.fields:
         if f.name not in nv_full.columns:
             nv_full = nv_full.withColumn(f.name, F.lit(None).cast(f.dataType))
-    combined = existing.unionByName(nv_full.select(*existing.columns))
-
-    x = closure.withColumnsRenamed(
-        {"valid_to_utc": "_new_vt", "is_current": "_new_ic"}
+    width_cols = [f.name for f in history.schema.fields]
+    combined = (
+        existing.withColumn("_is_new", F.lit(False))
+        .select(*width_cols, "_is_new")
+        .unionByName(
+            nv_full.withColumn("_is_new", F.lit(True)).select(*width_cols, "_is_new")
+        )
+        .withColumn(BUCKET_COL, history.bucket_of(key))
     )
-    closed = combined.join(maybe_bcast(x), [key, "lsn"], "left").select(
+    rest_cols = [c for c in combined.columns if c not in (key, "lsn", BUCKET_COL)]
+    packed = F.struct(*[F.col(c) for c in rest_cols])
+    order_key = F.struct(F.col("_is_new").alias("o1"), F.col("valid_from_utc").alias("o2"))
+    nparts = shuffle_partitions or max(
+        2 * history.n_buckets,
+        int(new_versions.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    reduced = (
+        combined.repartition(nparts, BUCKET_COL)
+        .groupBy(BUCKET_COL, key, "lsn")
+        .agg(F.min_by(packed, order_key).alias("_row"))
+        .select(F.col(BUCKET_COL), F.col(key), F.col("lsn"), "_row.*")
+        .drop("_is_new")
+    )
+
+    # join-back of the closure delta WITHOUT a driver broadcast (the
+    # delta is batch-sized — collecting it would be data-proportional
+    # serial time): both sides are hash-partitioned by bucket with the
+    # same partition count, and the reduce's sort-aggregate output is
+    # already ordered by (bucket, key, lsn), so joining on
+    # [bucket, key, lsn] adds NO exchange and no re-sort of the wide
+    # side — only the narrow delta shuffles.
+    x = (
+        closure.withColumnsRenamed(
+            {"valid_to_utc": "_new_vt", "is_current": "_new_ic"}
+        )
+        .withColumn(BUCKET_COL, history.bucket_of(key))
+        .repartition(nparts, F.col(BUCKET_COL))
+    )
+    closed = reduced.join(x, [BUCKET_COL, key, "lsn"], "left").select(
         *[
             F.coalesce(F.col("_new_vt"), F.col("valid_to_utc")).alias("valid_to_utc")
             if f.name == "valid_to_utc"
@@ -187,7 +262,8 @@ def apply_history(
             if f.name == "is_current"
             else F.col(f.name)
             for f in history.schema.fields
-        ]
+        ],
+        F.col(BUCKET_COL),
     )
 
     history.replace_buckets(
@@ -195,8 +271,8 @@ def apply_history(
         affected,
         batch_key=str(batch_id),
         batch_info={"buckets": sorted(affected)},
+        prepartitioned=True,
     )
-    ex_narrow.unpersist()
     return {"buckets": sorted(affected), "changed_docs": n_docs}
 
 
