@@ -37,7 +37,7 @@ ARROW_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("lsn", pa.int64()),
         ("op", pa.string()),
-        ("tokens", pa.list_(pa.int32())),
+        ("tokens", pa.large_list(pa.int32())),
         ("n_tok", pa.int32()),
         ("source", pa.string()),
         ("ddl", pa.string()),
@@ -115,9 +115,7 @@ def generate_change_log(
     flat = rng.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
     offsets = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    tokens_layout = pa.LargeListArray.from_arrays(
-        pa.array(offsets), pa.array(flat)
-    ).cast(pa.list_(pa.int32()))
+    tokens_layout = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat))
 
     # --- evolution point + source --------------------------------------
     evo_rank = int(total * evolution_frac)
@@ -159,7 +157,7 @@ def generate_change_log(
             # shares the boundary lsn; op disambiguates
             "lsn": pa.array([evo_lsn], type=pa.int64()),
             "op": pa.array(["SCHEMA"]),
-            "tokens": pa.nulls(1, pa.list_(pa.int32())),
+            "tokens": pa.nulls(1, pa.large_list(pa.int32())),
             "n_tok": pa.nulls(1, pa.int32()),
             "source": pa.nulls(1, pa.string()),
             "ddl": pa.array([DDL_SOURCE]),

@@ -253,8 +253,10 @@ class LakeTable:
             # repartition by bucket so each bucket's rows coalesce into
             # few files (one writer task per bucket at sandbox scale; at
             # 100 TB you'd allow several files per bucket per commit —
-            # still fine, compaction bounds the count).
-            df = df.repartition(BUCKET_COL)
+            # still fine, compaction bounds the count).  2× bucket count
+            # partitions so buckets don't hash-collide into a straggler
+            # task (see merge.py).
+            df = df.repartition(2 * self.n_buckets, F.col(BUCKET_COL))
 
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
         df.write.partitionBy(BUCKET_COL).parquet(stage)
