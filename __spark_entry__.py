@@ -521,6 +521,33 @@ def _q_frame_sampling(spark, sf):
     return sample_frames(media, every_ms=1000)
 
 
+def _q_payload_hash_audit(spark, sf):
+    """F13 — sha256 payload hash for the audit trail
+    (regulatory_reporter/main.py:633-636)."""
+    ev = _load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.sha2(F.concat_ws("|", "event_id", "event_type", "props"), 256).alias(
+            "payload_sha256"
+        ),
+    )
+
+
+def _q_date_time_keys(spark, sf):
+    """F6 — integer date/time dimension keys from a timestamp
+    (cross_db/date_key_from_ts.sql:16-21, time_key_from_ts.sql,
+    millis_from_ts.sql)."""
+    ev = _load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd").cast("long").alias("date_key"),
+        F.date_format("ts", "HHmmss").cast("long").alias("time_key"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) % 1_000_000 / 1000)
+        .cast("long")
+        .alias("millis"),
+    )
+
+
 def _q_rules_quarantine(spark, sf):
     from data_pipeline_spark.sources.rules import Rule, apply_rules
 
@@ -577,6 +604,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_bucket_rollup": _q_time_bucket_rollup,
     "media_features": _q_media_features,
     "frame_sampling": _q_frame_sampling,
+    "payload_hash_audit": _q_payload_hash_audit,
+    "date_time_keys": _q_date_time_keys,
 }
 
 
@@ -606,10 +635,10 @@ sh AS (
 
 
 def _minhash_aggs(num_hashes: int) -> str:
+    # two 15-hex windows per md5 digest — mirrors operators/dedupe.py
     return ", ".join(
-        "min({h}) AS sig_{k}".format(
-            h=_H15.format(x="'" + str(k) + ":' || shingle"), k=k
-        )
+        "min(CAST(('0x' || substr(md5('{fam}:' || shingle), {off}, 15)) AS BIGINT))"
+        " AS sig_{k}".format(fam=k // 2, off=1 + 15 * (k % 2), k=k)
         for k in range(num_hashes)
     )
 
@@ -998,6 +1027,21 @@ FROM events GROUP BY 1, 2
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        unnest(generate_series(0, (n_chars % 50 + 1) * 500 - 1, 1000)) AS frame_ts_ms
 FROM documents
+"""
+
+    sql["payload_hash_audit"] = """
+SELECT event_id,
+       sha256(CAST(event_id AS VARCHAR) || '|' || event_type || '|' || props)
+         AS payload_sha256
+FROM events
+"""
+
+    sql["date_time_keys"] = """
+SELECT event_id,
+       CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS date_key,
+       CAST(strftime(ts, '%H%M%S') AS BIGINT) AS time_key,
+       CAST(epoch_us(ts) % 1000000 // 1000 AS BIGINT) AS millis
+FROM events
 """
 
     # lsh_ann_topk: hyperplanes are generated driver-side (md5-derived);

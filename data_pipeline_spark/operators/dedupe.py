@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint_md5
 
 
-def _hash15(c: Column) -> Column:
-    """First 15 hex chars of md5 → BIGINT (cross-engine-exact)."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+def _hash15(c: Column, window: int = 0) -> Column:
+    """15 hex chars of md5 → BIGINT (cross-engine-exact).  One md5 yields
+    TWO independent 60-bit hashes (windows 0 and 1 of the 32-hex digest),
+    halving the md5 calls for MinHash signature families."""
+    return F.conv(F.substring(F.md5(c), 1 + 15 * window, 15), 16, 10).cast("long")
 
 
 def normalize_text(c: Column | str) -> Column:
@@ -80,7 +82,12 @@ def minhash_signatures(
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     ).dropDuplicates([id_col, "shingle"])
     aggs = [
-        F.min(_hash15(F.concat_ws(":", F.lit(str(k)), F.col("shingle")))).alias(f"sig_{k}")
+        F.min(
+            _hash15(
+                F.concat_ws(":", F.lit(str(k // 2)), F.col("shingle")),
+                window=k % 2,
+            )
+        ).alias(f"sig_{k}")
         for k in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
