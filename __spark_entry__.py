@@ -419,9 +419,15 @@ def _q_drift_extra_json(spark, sf):
     """F12 — unknown/drift columns serialised to an `_extra` JSON column
     (basic_orchestrator/orchestrator/main.py:164-168), vectorized."""
     ev = _load(spark, sf, "events")
+    # ignoreNullFields=false: emit "k":null like the DuckDB twin's
+    # to_json(struct_pack(...)) — otherwise the two sides diverge the
+    # moment a fixture gains a null drift value.
     return ev.select(
         "event_id",
-        F.to_json(F.struct("event_type", "user_id")).alias("_extra"),
+        F.to_json(
+            F.struct("event_type", "user_id"),
+            {"ignoreNullFields": "false"},
+        ).alias("_extra"),
     )
 
 
@@ -485,8 +491,11 @@ def _q_time_bucket_rollup(spark, sf):
 def _q_media_features(spark, sf):
     """Multimodal plumbing: binary payloads → mapInPandas feature
     extraction (decode stubbed — see operators/multimodal.py).  The
-    feature vector is deterministic but not SQL-expressible → no oracle
-    (rows-only check); n_bytes/determinism are pytest-verified."""
+    stub's feature is a 16-bin byte histogram normalised by n_bytes;
+    the query re-scales two bins back to integer byte counts so the
+    DuckDB oracle can reproduce them exactly from the UTF-8 text (bins
+    0 [0x00-0x0f] and 6 [0x60-0x6f] contain only single-byte UTF-8
+    code points, so char counts == byte counts)."""
     from data_pipeline_spark.operators.multimodal import extract_features
 
     d = _load(spark, sf, "documents")
@@ -500,10 +509,20 @@ def _q_media_features(spark, sf):
         F.lit(None).cast("long").alias("duration_ms"),
     )
     feats = extract_features(media)
+    # feature[j] = count_of_bytes_in_bin_j / n_bytes as float32; the
+    # float32 relative error (~1.2e-7) times any realistic count is
+    # << 0.5, so round(f * n_bytes) recovers the exact integer count.
+    def _bin_count(j: int):
+        return (
+            F.round(F.element_at("feature", j + 1).cast("double") * F.col("n_bytes"))
+            .cast("long")
+        )
+
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        _bin_count(0).alias("f0_count"),
+        _bin_count(6).alias("f6_count"),
     )
 
 
@@ -525,11 +544,16 @@ def _q_payload_hash_audit(spark, sf):
     """F13 — sha256 payload hash for the audit trail
     (regulatory_reporter/main.py:633-636)."""
     ev = _load(spark, sf, "events")
+    # null-explicit: concat_ws silently skips NULL operands while SQL's
+    # || propagates NULL — coalesce each operand on BOTH sides so the
+    # hash is well-defined (and engine-identical) for null fields.
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(""))
+        for c in ("event_id", "event_type", "props")
+    ]
     return ev.select(
         "event_id",
-        F.sha2(F.concat_ws("|", "event_id", "event_type", "props"), 256).alias(
-            "payload_sha256"
-        ),
+        F.sha2(F.concat_ws("|", *parts), 256).alias("payload_sha256"),
     )
 
 
@@ -1031,7 +1055,8 @@ FROM documents
 
     sql["payload_hash_audit"] = """
 SELECT event_id,
-       sha256(CAST(event_id AS VARCHAR) || '|' || event_type || '|' || props)
+       sha256(coalesce(CAST(event_id AS VARCHAR), '') || '|' ||
+              coalesce(event_type, '') || '|' || coalesce(props, ''))
          AS payload_sha256
 FROM events
 """
@@ -1044,8 +1069,38 @@ SELECT event_id,
 FROM events
 """
 
-    # lsh_ann_topk: hyperplanes are generated driver-side (md5-derived);
-    # media_features: the stubbed decode emits a byte-histogram feature
-    # that SQL cannot reproduce — both intentionally have no SQL twin →
-    # driver records rows-only checks.
+    # lsh_ann_topk: the hyperplanes are deterministic md5-derived
+    # constants (operators/similarity.py _hyperplane), so the oracle
+    # inlines them as literal DOUBLE[] arrays and reproduces bucket +
+    # cosine exactly — both the query vector's bucket and every data
+    # vector's bucket are computed inside SQL with the same planes.
+    from data_pipeline_spark.operators.similarity import _hyperplane
+
+    n_planes, dim, seed = 8, 64, 42
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(x) for x in _hyperplane(seed, j, dim))
+        + f"]) > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    sql["lsh_ann_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 4) AS cos_sim
+FROM b, q WHERE b.vec_id != 0 AND b.bucket = q.qb
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    # media_features: bins 0 and 6 of the stub's byte histogram cover
+    # byte ranges that only single-byte UTF-8 code points occupy, so a
+    # character-class regexp over the text counts exactly those bytes;
+    # strlen() is DuckDB's byte length.
+    sql["media_features"] = r"""
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(len(regexp_extract_all(text, '[\x00-\x0f]')) AS BIGINT) AS f0_count,
+       CAST(len(regexp_extract_all(text, '[\x60-\x6f]')) AS BIGINT) AS f6_count
+FROM documents
+"""
     return sql
