@@ -80,6 +80,15 @@ def merge_into(
         F.col("lsn"),
         F.col("op"),
         F.lit(0).alias("_prio"),
+        # deterministic tie-break for malformed upstreams: two DISTINCT
+        # change rows with the same (key, lsn) pick the last arrival by
+        # ingest_ts instead of an arbitrary winner (payload-identical
+        # at-least-once duplicates are unaffected either way)
+        (
+            F.col("ingest_ts")
+            if "ingest_ts" in changes.columns
+            else F.lit(None).cast("timestamp")
+        ).alias("_ord_ts"),
         *[
             (F.col(f.name) if f.name in changes.columns else F.lit(None)).cast(
                 f.dataType
@@ -97,6 +106,9 @@ def merge_into(
         # strictly-newer delete
         F.lit("T").alias("op"),
         F.lit(1).alias("_prio"),
+        # _prio already outranks any change at equal lsn, so the target
+        # side never reaches the ts component of the order key
+        F.lit(None).cast("timestamp").alias("_ord_ts"),
         *[F.col(f.name) for f in payload_cols],
         *[F.col(f.name) for f in meta_cols],
     )
@@ -105,8 +117,13 @@ def merge_into(
     value_cols = [c for c in combined.columns if c not in (key, BUCKET_COL)]
     packed = F.struct(*[F.col(c) for c in value_cols])
     # ties on lsn → target wins (replay / late duplicate is a no-op,
-    # matching MERGE's `s.lsn > t.lsn` guard)
-    order_key = F.struct(F.col("lsn").alias("o1"), F.col("_prio").alias("o2"))
+    # matching MERGE's `s.lsn > t.lsn` guard); ties among change rows →
+    # last arrival by ingest_ts (deterministic LWW)
+    order_key = F.struct(
+        F.col("lsn").alias("o1"),
+        F.col("_prio").alias("o2"),
+        F.col("_ord_ts").alias("o3"),
+    )
 
     # 2× the bucket count so (with high probability) no two buckets
     # hash-collide into one partition: a collision halves effective
@@ -123,7 +140,7 @@ def merge_into(
         .agg(F.max_by(packed, order_key).alias("_row"))
         .filter(F.col("_row.op") != "D")
         .select(F.col(key), F.col(BUCKET_COL), "_row.*")
-        .drop("op", "_prio")
+        .drop("op", "_prio", "_ord_ts")
     )
 
     table.replace_buckets(

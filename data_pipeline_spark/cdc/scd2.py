@@ -21,8 +21,11 @@ exactly once (the bucketed write):
   1. affected_docs = keys in this batch (broadcast);
   2. existing versions of those keys, projected to (key, lsn, op,
      valid_from) — a column-pruned scan, parquet reads 4 columns;
-  3. replay guard: new versions already present are dropped by a
-     broadcast anti-join (cross-batch at-least-once duplicates);
+  3. replay guard: cross-batch re-deliveries of versions already in
+     the table collapse inside the reduces — the narrow kernel and the
+     full-width min_by both pick the STORED row over a re-delivered
+     copy (``_is_new`` sorts stored-first), so no anti-join pass is
+     needed;
   4. **groupBy().applyInPandas over Arrow batches** (north_star
      requirement) computes lead(valid_from)-1s per key on the narrow
      frame — thousands of keys per Arrow batch, vectorized pandas, no
@@ -278,7 +281,15 @@ def apply_history(
 
 def as_of(history_df: DataFrame, ts) -> DataFrame:
     """Time-travel predicate (basic_orchestrator/dbt/macros/time_travel.sql:22-24):
-    the version visible at `ts`, excluding delete tombstones."""
+    the version visible at `ts`, excluding delete tombstones.
+
+    DELIBERATE divergence from the reference: the macro uses a strict
+    ``valid_to > ts`` while this engine uses a closed ``valid_to >= ts``.
+    Versions are closed at next.valid_from − 1 s, so the reference's
+    half-open predicate leaves a 1-second hole in which NO version is
+    visible (ts exactly on a closed valid_to); the closed interval makes
+    every instant in [first valid_from, ∞) resolve to exactly one live
+    version.  Pinned by test_as_of_closed_interval_boundary."""
     t = F.lit(ts).cast("timestamp")
     return history_df.filter(
         (F.col("valid_from_utc") <= t) & (F.col("valid_to_utc") >= t) & (F.col("op") != "D")

@@ -40,7 +40,7 @@ def run_stream(
     with the same checkpoint_dir resumes from the next batch (and
     re-delivers any in-flight one — idempotent under the manifests).
     """
-    n_batches = {"n": 0}
+    n_batches = {"n": 0, "stopped": False}
 
     class _StopEarly(Exception):
         pass
@@ -49,6 +49,10 @@ def run_stream(
         pipeline.apply_batch(df, batch_id)
         n_batches["n"] += 1
         if stop_after_batches is not None and n_batches["n"] >= stop_after_batches:
+            # flag BEFORE raising: Spark rewraps the exception (possibly
+            # losing the message), so detection must not depend on the
+            # exception text surviving the JVM round-trip
+            n_batches["stopped"] = True
             raise _StopEarly()
 
     reader = (
@@ -65,8 +69,8 @@ def run_stream(
     q = writer.start()
     try:
         q.awaitTermination()
-    except Exception as e:  # noqa: BLE001 — surface real errors, swallow the probe
-        if "_StopEarly" not in str(e) and "_StopEarly" not in repr(e):
+    except Exception:  # noqa: BLE001 — surface real errors, swallow the probe
+        if not n_batches["stopped"]:
             raise
     finally:
         if q.isActive:

@@ -160,13 +160,33 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.  The verification stage after
-    LSH candidates (or standalone at moderate scale)."""
+    LSH candidates (or standalone at moderate scale).
+
+    max_doc_freq is the hot-shingle guard (the df-cap standard in
+    web-corpus dedup): a boilerplate shingle shared by d documents
+    (cookie banners, license headers) would contribute d² rows to the
+    intersection self-join — 10¹² at corpus scale.  Shingles with
+    document frequency > max_doc_freq are removed from every shingle
+    set BEFORE sizes and intersections are computed (self-consistent:
+    Jaccard is then over the capped sets), bounding the join at
+    O(n_shingles × max_doc_freq).  The surviving hot set is tiny by
+    definition (few distinct values can exceed the cap), so the
+    filter is a broadcast anti-join.  None disables the cap."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     ).dropDuplicates([id_col, "shingle"])
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -13,6 +13,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _parse_mem_bytes(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(s[-1], 1)
+    digits = s[:-1] if s[-1] in "kmgt" else s
+    return int(float(digits)) * mult
+
+
+# Estimated per-group aggregation-buffer footprint for the engine's
+# widest reduce: one packed row of ~160-192 int32 tokens (~768 B data)
+# plus JVM object/UnsafeRow overhead.  Deliberately pessimistic — the
+# valve exists to prevent OOM, not to be precise.
+_EST_AGG_ROW_BYTES = 4096
+
+
+def _agg_fallback_threshold(heap: str, ncores: int) -> int:
+    """Max in-flight hash-aggregation groups per task before falling
+    back to sort-based aggregation, sized so ncores concurrent tasks'
+    aggregation state fits comfortably in execution memory:
+
+        heap × 0.36 (memory.fraction 0.6 × 0.6 headroom) / ncores
+             / _EST_AGG_ROW_BYTES
+
+    e.g. 8 GB / 8 cores → ~94k groups per task (≈380 MB state/task);
+    64 GB / 32 cores → ~180k.  Clamped to [16384, 4194304]: the floor
+    keeps realistic CDC reduces (tens of thousands of keys per bucket
+    partition) on the hash path even on tiny test heaps, the ceiling is
+    the round-1 constant.  On an OOM-prone deployment lower
+    SPARK_GRAFT_DRIVER_MEM-per-core and this scales down with it."""
+    exec_per_core = _parse_mem_bytes(heap) * 0.36 / max(ncores, 1)
+    return max(16384, min(4194304, int(exec_per_core / _EST_AGG_ROW_BYTES)))
+
+
 def build_session(
     app_name: str = "data_pipeline_spark",
     cpus: int | None = None,
@@ -35,6 +67,8 @@ def build_session(
         ncores = cpus
     if shuffle_partitions is None:
         shuffle_partitions = max(ncores, 4)
+
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     # Ship this package to python workers: foreachBatch / pandas-UDF
     # closures reference the module, so executors must import it.  On a
@@ -60,14 +94,20 @@ def build_session(
         # aggregates → ObjectHashAggregateExec; the default sort-based
         # fallback kicks in at 128 distinct keys per task, silently
         # turning every reduce into a per-partition SORT.  Raise it so
-        # the hash path holds for realistic per-task key counts (object
-        # buffers are one packed row per group — bounded by task rows).
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+        # the hash path holds for realistic per-task key counts — but
+        # size it from the heap, not a constant: each in-flight group
+        # buffers a full packed row (token payloads ~1 KB), so the
+        # valve must still trip before aggregation state outgrows a
+        # task's share of execution memory.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            str(_agg_fallback_threshold(heap, ncores)),
+        )
         .config("spark.sql.parquet.compression.codec", "snappy")
         # file-source partition sizing: at 100 TB this is the knob that
         # keeps scan tasks ~128 MB; harmless at sandbox scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", heap)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

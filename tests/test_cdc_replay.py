@@ -141,3 +141,56 @@ def test_lww_and_delete_semantics(spark, tmp_path):
     pipe.apply_batch(late, 1)
     got = {r.doc_id: r.tokens for r in pipe.current_state().collect()}
     assert got["a"] == [2]
+
+
+def test_same_lsn_distinct_payload_tiebreak_is_deterministic(spark, tmp_path):
+    """Malformed upstream: two DISTINCT payloads under the same
+    (doc_id, lsn).  The merge order key (lsn, _prio, ingest_ts) must
+    pick the LAST arrival by ingest_ts — deterministically, regardless
+    of partitioning or arrival order within the batch."""
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+    base_ts = __import__("datetime").datetime(2024, 1, 1)
+
+    def ts(s):
+        return base_ts + __import__("datetime").timedelta(seconds=s)
+
+    rows = [
+        ("x", 5, "I", [7, 7], 2, None, None, 0, ts(50)),   # later arrival
+        ("x", 5, "I", [1, 1], 2, None, None, 0, ts(10)),   # earlier arrival
+    ]
+    for attempt, order in enumerate([rows, rows[::-1]]):
+        df = spark.createDataFrame(order, CHANGE_EVENT_SCHEMA).repartition(4)
+        pipe = CdcPipeline(
+            spark, str(tmp_path / f"wh{attempt}"), n_buckets=4, compact_every=0
+        )
+        pipe.apply_batch(df, 0)
+        (row,) = pipe.current_state().collect()
+        assert row.tokens == [7, 7], "last writer by ingest_ts must win"
+
+
+def test_as_of_closed_interval_boundary(spark, tmp_path):
+    """as_of uses a CLOSED valid_to (>=), diverging from the reference
+    macro's strict `>` (time_travel.sql:22-24): with −1 s closure the
+    strict form has a 1-second visibility hole exactly on a closed
+    valid_to.  Every instant must resolve to exactly one version."""
+    import datetime
+
+    from data_pipeline_spark.cdc.scd2 import as_of
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("k", 1, "I", [1], 1, None, None, 0, t0),
+        ("k", 2, "U", [2], 1, None, None, 0, t0 + datetime.timedelta(seconds=10)),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=2, compact_every=0)
+    pipe.apply_batch(df, 0)
+    hist = pipe.history_df()
+    # version 1 is closed at t0+9s; the boundary instant itself must
+    # still see version 1 (closed interval), and t0+10s sees version 2
+    at_boundary = as_of(hist, t0 + datetime.timedelta(seconds=9)).collect()
+    assert [r.lsn for r in at_boundary] == [1]
+    at_next = as_of(hist, t0 + datetime.timedelta(seconds=10)).collect()
+    assert [r.lsn for r in at_next] == [2]
