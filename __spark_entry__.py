@@ -586,6 +586,67 @@ def _q_rules_quarantine(spark, sf):
     return quarantined.select("event_id", "failure_reasons")
 
 
+# ----------------------------------------------------------------------
+# Control jobs (control/jobs.py) exercised over a lineage-shaped frame
+# derived from the events table, so the driver's oracle can verify the
+# exact same transforms that ControlRunner persists per epoch.
+# ----------------------------------------------------------------------
+
+def _lineage_like(spark, sf):
+    """events → per-(partition, batch) lineage spans: partition = a
+    synthetic kafka partition, batch = fixed-width lsn range."""
+    ev = _load(spark, sf, "events")
+    return ev.groupBy(
+        (F.col("user_id") % 4).cast("long").alias("partition"),
+        F.floor(F.col("event_id") / 2500).cast("long").alias("batch_id"),
+    ).agg(
+        F.min("event_id").alias("min_lsn"),
+        F.max("event_id").alias("max_lsn"),
+        F.count(F.lit(1)).cast("long").alias("rows_in"),
+        F.max("ts").alias("applied_at"),
+    )
+
+
+def _q_lineage_gap_check(spark, sf):
+    """Control job T8: lsn-continuity gaps per partition over lineage
+    spans (streaming_sequence_gaps.sql:20-70 recast over batch spans)."""
+    from data_pipeline_spark.control.jobs import lineage_sequence_gaps
+
+    return lineage_sequence_gaps(_lineage_like(spark, sf))
+
+
+def _q_batch_completeness(spark, sf):
+    """Control job: partition × batch-spine arrival check with
+    consecutive-missing streaks (source_completeness.sql:49-106).  One
+    (partition, batch) cell is planted missing to exercise MISSING."""
+    from data_pipeline_spark.control.jobs import batch_completeness
+
+    lin = _lineage_like(spark, sf).filter(
+        ~((F.col("partition") == 3) & (F.col("batch_id") == 1))
+    )
+    return batch_completeness(lin).select(
+        "partition",
+        "batch_id",
+        "rows_in",
+        "status",
+        F.col("reset_group").cast("long").alias("reset_group"),
+        "consecutive_missing",
+    )
+
+
+def _q_freshness_check(spark, sf):
+    """Control job: per-partition applied_at lag vs warn/error
+    thresholds (dbt source freshness, docs/testing.md:131-147)."""
+    from data_pipeline_spark.control.jobs import freshness_check
+
+    return freshness_check(
+        _lineage_like(spark, sf),
+        now="2024-02-01 00:00:00",
+        warn_after_seconds=24 * 3600,
+        error_after_seconds=72 * 3600,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_current_state": _q_cdc_lww_current_state,
     "dedup_first_arrival": _q_dedup_first_arrival,
@@ -630,6 +691,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sampling": _q_frame_sampling,
     "payload_hash_audit": _q_payload_hash_audit,
     "date_time_keys": _q_date_time_keys,
+    "lineage_gap_check": _q_lineage_gap_check,
+    "batch_completeness": _q_batch_completeness,
+    "freshness_check": _q_freshness_check,
 }
 
 
@@ -1067,6 +1131,77 @@ SELECT event_id,
        CAST(strftime(ts, '%H%M%S') AS BIGINT) AS time_key,
        CAST(epoch_us(ts) % 1000000 // 1000 AS BIGINT) AS millis
 FROM events
+"""
+
+    _LINEAGE_CTE = """
+lin AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS partition,
+         CAST(event_id // 2500 AS BIGINT) AS batch_id,
+         min(event_id) AS min_lsn, max(event_id) AS max_lsn,
+         count(*) AS rows_in, max(ts) AS applied_at
+  FROM events GROUP BY 1, 2)
+"""
+
+    sql["lineage_gap_check"] = f"""
+WITH {_LINEAGE_CTE},
+g AS (
+  SELECT partition, min_lsn,
+         lag(max_lsn) OVER (PARTITION BY partition ORDER BY batch_id) AS prev_end
+  FROM lin)
+SELECT partition, prev_end + 1 AS gap_start, min_lsn - 1 AS gap_end,
+       min_lsn - prev_end - 1 AS gap_size,
+       CASE WHEN min_lsn - prev_end - 1 <= 10 THEN 'LOW'
+            WHEN min_lsn - prev_end - 1 <= 100 THEN 'MEDIUM'
+            WHEN min_lsn - prev_end - 1 <= 1000 THEN 'HIGH'
+            ELSE 'CRITICAL' END AS severity
+FROM g WHERE prev_end IS NOT NULL AND min_lsn - prev_end - 1 > 0
+"""
+
+    sql["batch_completeness"] = f"""
+WITH {_LINEAGE_CTE},
+lin2 AS (SELECT * FROM lin WHERE NOT (partition = 3 AND batch_id = 1)),
+per AS (SELECT partition, batch_id, sum(rows_in) AS rows_in
+        FROM lin2 GROUP BY 1, 2),
+expected AS (
+  SELECT p.partition, b.batch_id
+  FROM (SELECT DISTINCT partition FROM per) p
+  CROSS JOIN (SELECT DISTINCT batch_id FROM per) b),
+joined AS (
+  SELECT e.partition, e.batch_id, coalesce(per.rows_in, 0) AS rows_in
+  FROM expected e LEFT JOIN per
+    ON e.partition = per.partition AND e.batch_id = per.batch_id),
+status AS (
+  SELECT *, CASE WHEN rows_in = 0 THEN 'MISSING' ELSE 'COMPLETE' END AS status,
+         CASE WHEN rows_in = 0 THEN 1 ELSE 0 END AS is_missing
+  FROM joined),
+reset AS (
+  SELECT *, sum(CASE WHEN is_missing = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY partition ORDER BY batch_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reset_group
+  FROM status)
+SELECT partition, batch_id, CAST(rows_in AS BIGINT) AS rows_in, status,
+       CAST(reset_group AS BIGINT) AS reset_group,
+       CAST(row_number() OVER (PARTITION BY partition, reset_group
+                               ORDER BY batch_id) - 1 AS BIGINT)
+         AS consecutive_missing
+FROM reset
+"""
+
+    sql["freshness_check"] = f"""
+WITH {_LINEAGE_CTE},
+agg AS (SELECT partition, max(applied_at) AS last_applied_at
+        FROM lin GROUP BY 1)
+SELECT partition, last_applied_at,
+       CAST(date_diff('second', last_applied_at,
+                      TIMESTAMP '2024-02-01 00:00:00') AS BIGINT) AS lag_seconds,
+       CASE WHEN date_diff('second', last_applied_at,
+                           TIMESTAMP '2024-02-01 00:00:00') >= 72 * 3600
+              THEN 'ERROR'
+            WHEN date_diff('second', last_applied_at,
+                           TIMESTAMP '2024-02-01 00:00:00') >= 24 * 3600
+              THEN 'WARN'
+            ELSE 'OK' END AS status
+FROM agg
 """
 
     # lsh_ann_topk: the hyperplanes are deterministic md5-derived

@@ -18,10 +18,108 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .pipeline import CdcPipeline
 from .schema import CHANGE_EVENT_SCHEMA
+
+
+# ----------------------------------------------------------------------
+# Kafka source path (SURVEY.md S8; reference bridge.py:191-263 + docs/
+# streaming.md:41-52).  The sandbox has no broker or spark-sql-kafka
+# jar, so `kafka_source` cannot be exercised end-to-end here — but the
+# value-decode contract (the part with actual logic) is a plain
+# DataFrame transform, unit-tested on literal Kafka-shaped rows.
+# ----------------------------------------------------------------------
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """Options for ``readStream.format("kafka")``.
+
+    maxOffsetsPerTrigger is the backpressure knob (the reference
+    bridge's buffer high-water, bridge.py:55-58): it bounds a
+    micro-batch by log offsets exactly like maxFilesPerTrigger bounds
+    the file-stream stand-in by segments.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def decode_kafka_value(raw: DataFrame) -> DataFrame:
+    """Kafka record frame (binary key/value, topic, partition, offset,
+    timestamp) → CHANGE_EVENT_SCHEMA.
+
+    The change event travels as a JSON value (the reference bridge
+    publishes `json.dumps(kafka_value)`, bridge.py:246-253); schema-on-
+    read via from_json — a malformed value yields NULL struct fields
+    and the pipeline's validation split quarantines the row (T9)
+    instead of killing the stream (the bridge's decode_errors path,
+    bridge.py:216-236).  Kafka's own metadata backfills what the
+    payload omits, mirroring the bridge's `_kafka_partition` /
+    `_kafka_offset` / `_kafka_timestamp` stamping (bridge.py:241-245):
+
+      lsn       ← payload.lsn        else kafka offset
+      partition ← payload.partition  else kafka partition
+      ingest_ts ← payload.ingest_ts  else kafka record timestamp
+    """
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias("e"),
+        F.col("partition").cast("int").alias("_kpart"),
+        F.col("offset").cast("long").alias("_koff"),
+        F.col("timestamp").cast("timestamp").alias("_kts"),
+    )
+    return parsed.select(
+        F.col("e.doc_id").alias("doc_id"),
+        F.coalesce(F.col("e.lsn"), F.col("_koff")).alias("lsn"),
+        F.col("e.op").alias("op"),
+        F.col("e.tokens").alias("tokens"),
+        F.col("e.n_tok").alias("n_tok"),
+        F.col("e.source").alias("source"),
+        F.col("e.ddl").alias("ddl"),
+        F.coalesce(F.col("e.partition"), F.col("_kpart")).alias("partition"),
+        F.coalesce(F.col("e.ingest_ts"), F.col("_kts")).alias("ingest_ts"),
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> DataFrame:
+    """Streaming CHANGE_EVENT_SCHEMA source from a Kafka topic.
+
+    Drop-in replacement for the file-stream stand-in: the decoded frame
+    feeds the same foreachBatch → CdcPipeline path (checkpointed
+    offsets, exactly-once via commit manifests).  Requires the
+    spark-sql-kafka connector on the classpath (spark-submit
+    --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>).
+    """
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets,
+        max_offsets_per_trigger,
+        fail_on_data_loss,
+    ).items():
+        reader = reader.option(k, v)
+    return decode_kafka_value(reader.load())
 
 
 def run_stream(
