@@ -1,5 +1,14 @@
 from .readers import read_csv_validated, read_json_validated, ValidatedRead
 from .rules import compile_rule, apply_rules
+from .specs import (
+    SourceSpec,
+    load_spec,
+    load_spec_dir,
+    match_spec,
+    parse_yaml,
+    read_with_spec,
+    spec_from_dict,
+)
 
 __all__ = [
     "read_csv_validated",
@@ -7,4 +16,11 @@ __all__ = [
     "ValidatedRead",
     "compile_rule",
     "apply_rules",
+    "SourceSpec",
+    "load_spec",
+    "load_spec_dir",
+    "match_spec",
+    "parse_yaml",
+    "read_with_spec",
+    "spec_from_dict",
 ]
