@@ -339,10 +339,15 @@ def _q_ann_topk(spark, sf):
 
 
 def _q_ivf_near_dup_pairs(spark, sf):
+    """Self-contained IVF: the coarse partition comes from the engine's
+    own deterministic sign-LSH quantizer (no precomputed label column),
+    with the degenerate-cluster cap active."""
     from data_pipeline_spark.operators.similarity import ivf_threshold_pairs
 
     e = _load(spark, sf, "embeddings")
-    return ivf_threshold_pairs(e, "vec_id", "embedding", "label", threshold=0.25)
+    return ivf_threshold_pairs(
+        e, "vec_id", "embedding", threshold=0.25, dim=64, n_planes=4, seed=7
+    )
 
 
 def _q_lsh_ann_topk(spark, sf):
@@ -1017,12 +1022,24 @@ FROM embeddings, q WHERE vec_id != 0
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
-    sql["ivf_near_dup_pairs"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.25
+    # ivf_near_dup_pairs: the coarse cluster is the engine's sign-LSH
+    # quantizer (4 md5-derived planes, seed 7) — inlined as literal
+    # DOUBLE[] arrays exactly like the lsh_ann_topk oracle below.
+    from data_pipeline_spark.operators.similarity import _hyperplane as _hp
+
+    ivf_bucket_terms = " + ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(x) for x in _hp(7, j, 64))
+        + f"]) > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(4)
+    )
+    sql["ivf_near_dup_pairs"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {ivf_bucket_terms} AS c FROM e)
+SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, x.v), 4) AS cos_sim
+FROM b a JOIN b x ON a.c = x.c AND a.vec_id < x.vec_id
+WHERE round(list_cosine_similarity(a.v, x.v), 4) >= 0.25
 """
 
     sql["rules_quarantine"] = """

@@ -52,6 +52,7 @@ class CdcPipeline:
         compact_every: int = 8,
         max_files_per_bucket: int = 8,
         expire_snapshots: bool = False,
+        scd2_check_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.base_dir = os.path.abspath(base_dir)
@@ -61,6 +62,9 @@ class CdcPipeline:
         self.compact_every = compact_every
         self.max_files_per_bucket = max_files_per_bucket
         self.expire_snapshots = expire_snapshots
+        # optional check-cols SCD2 (C4): only attr-hash-changed updates
+        # open history versions; None = version every distinct lsn
+        self.scd2_check_cols = scd2_check_cols
         self._batches_applied = 0
 
         def tbl(name: str, schema, key: str, nb: int) -> LakeTable:
@@ -139,7 +143,10 @@ class CdcPipeline:
 
         def _history():
             if self.history is not None and not self.history.has_batch(bkey):
-                stats["history"] = apply_history(self.history, events, batch_id)
+                stats["history"] = apply_history(
+                    self.history, events, batch_id,
+                    check_cols=self.scd2_check_cols,
+                )
 
         def _dead_letter():
             if self.dead_letter.has_batch(bkey):

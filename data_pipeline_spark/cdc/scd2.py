@@ -134,6 +134,62 @@ def _closure_schema(key: str) -> StructType:
     )
 
 
+def _change_gate(
+    existing: DataFrame, nv: DataFrame, key: str, check_cols: list[str]
+) -> DataFrame:
+    """Attr-hash change detection (C4/J5 check-cols variant, reference
+    basic_orchestrator/dbt/macros/scd2/scd2_merge.sql:46-50): a new
+    version opens ONLY when xxhash64(check_cols) differs from the
+    version it would succeed — the stored current row for the first
+    incoming version of a key, the previous incoming version after
+    that (lag over lsn; hash equality is transitive so lag-over-all
+    equals lag-over-survivors).  Delete tombstones always pass (they
+    close chains), and only incoming rows are ever dropped.
+
+    Mid-chain late arrivals are compared conservatively (kept unless
+    they match the current row's hash position in lsn order) — the
+    reference merge has no bi-temporal path at all, so matching its
+    gate on the sequential case is the parity target."""
+    from pyspark.sql.window import Window
+
+    def _attr_hash(df: DataFrame):
+        # a check column missing on one side (pre-schema-evolution
+        # history rows) hashes as null — identical to a present-but-
+        # null value, so evolution does not spuriously open versions
+        return F.xxhash64(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).cast("string")
+                for c in check_cols
+            ]
+        )
+
+    cur = existing.filter(F.col("is_current")).select(
+        F.col(key),
+        F.col("lsn"),
+        _attr_hash(existing).alias("_h"),
+        F.lit("C").alias("_gop"),
+        F.lit(False).alias("_gnew"),
+    )
+    inc = nv.select(
+        F.col(key),
+        F.col("lsn"),
+        _attr_hash(nv).alias("_h"),
+        F.col("op").alias("_gop"),
+        F.lit(True).alias("_gnew"),
+    )
+    w = Window.partitionBy(key).orderBy("lsn", "_gnew", "_h")
+    lagged = cur.unionByName(inc).withColumn("_prev_h", F.lag("_h").over(w))
+    keep = lagged.filter(
+        F.col("_gnew")
+        & (
+            (F.col("_gop") == "D")
+            | F.col("_prev_h").isNull()
+            | (F.col("_prev_h") != F.col("_h"))
+        )
+    ).select(key, "lsn")
+    return nv.join(keep, [key, "lsn"], "semi")
+
+
 def apply_history(
     history: LakeTable,
     new_versions: DataFrame,
@@ -141,6 +197,7 @@ def apply_history(
     broadcast_max_docs: int = 500_000,
     closure_groups: int = 64,
     shuffle_partitions: int | None = None,
+    check_cols: list[str] | None = None,
 ) -> dict:
     """Append this batch's versions and re-close affected keys.
 
@@ -151,6 +208,11 @@ def apply_history(
     kernel dedups in pandas, and the full-width reduce rides the write's
     repartition-by-bucket exchange, so the whole apply still costs ONE
     full-width shuffle.
+
+    check_cols: optional attr-change gate — when set, an update whose
+    tracked attributes hash-match the version it would succeed opens NO
+    new history row (the reference's check-cols SCD2).  Off by default:
+    the lsn-versioned mode keeps every distinct (key, lsn).
     """
     key = history.key_col
     derived = (key, "lsn", "op", "valid_from_utc", "valid_to_utc", "is_current")
@@ -177,11 +239,15 @@ def apply_history(
         history.record_batch(str(batch_id), {"versions": 0})
         return {"buckets": []}
 
-    affected_docs = nv.select(key).distinct()
     small = n_docs <= broadcast_max_docs
     maybe_bcast = F.broadcast if small else (lambda df: df)
 
     existing = history.read(buckets=affected)
+    if check_cols:
+        # pre-gate `affected` stays the bucket superset (a fully-gated
+        # bucket is rewritten unchanged — correct, just not pruned)
+        nv = _change_gate(existing, nv, key, check_cols)
+    affected_docs = nv.select(key).distinct()
 
     # narrow frame: existing versions of affected keys + the new ones;
     # stored validity rides along so the kernel can emit only CHANGED

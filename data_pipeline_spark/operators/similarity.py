@@ -64,23 +64,53 @@ def ivf_threshold_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    cluster_col: str,
-    threshold: float,
+    cluster_col: str | None = None,
+    threshold: float = 0.5,
+    dim: int | None = None,
+    n_planes: int = 4,
+    seed: int = 7,
+    max_cluster: int | None = 100_000,
     round_digits: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold, searched only within the
-    same coarse cluster (IVF-style).  The cluster column bounds the
-    quadratic join; at 100 TB clusters come from k-means on a sample —
-    here any precomputed assignment works."""
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        F.col(cluster_col).alias("_c"),
+    same coarse cluster (IVF-style) — self-contained.
+
+    cluster_col=None (the default) derives the coarse partition from
+    the data itself: a deterministic sign-LSH quantizer (n_planes
+    md5-derived hyperplanes → 2^n_planes cells).  A precomputed
+    assignment (sampled k-means labels, category ids) can still be
+    passed; either way the quadratic join runs per cluster only.
+
+    max_cluster is the degenerate-cluster guard (mirrors the LSH path's
+    max_bucket): a cluster larger than the cap — a failure of the
+    quantizer, or a hostile label column — would reintroduce the
+    all-pairs blow-up, so it is dropped from the pair join entirely
+    (its ids are few distinct values → broadcast anti-join)."""
+    if cluster_col is None:
+        if dim is None:
+            raise ValueError("dim is required when cluster_col is None")
+        clustered = df.join(
+            sign_lsh_buckets(df, id_col, vec_col, dim, n_planes, seed).
+            withColumnRenamed("lsh_bucket", "_c"),
+            on=id_col,
+        )
+        cluster_col = "_c"
+    else:
+        clustered = df.withColumn("_c", F.col(cluster_col))
+        cluster_col = "_c"
+    if max_cluster is not None:
+        big = (
+            clustered.groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cluster)
+            .select("_c")
+        )
+        clustered = clustered.join(F.broadcast(big), "_c", "anti")
+    a = clustered.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_c"
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col(cluster_col).alias("_c"),
+    b = clustered.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_c"
     )
     pairs = a.join(b, on=["_c"]).filter(F.col("id_a") < F.col("id_b"))
     out = pairs.select(

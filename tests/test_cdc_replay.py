@@ -194,3 +194,55 @@ def test_as_of_closed_interval_boundary(spark, tmp_path):
     assert [r.lsn for r in at_boundary] == [1]
     at_next = as_of(hist, t0 + datetime.timedelta(seconds=10)).collect()
     assert [r.lsn for r in at_next] == [2]
+
+
+def test_scd2_check_cols_gate(spark, tmp_path):
+    """C4 check-cols variant (scd2_merge.sql:46-50): a payload-identical
+    update opens NO new history version when the gate is on; a changed
+    payload still does; deletes always close the chain.  Spans two
+    batches so the gate is exercised against STORED current rows too."""
+    import datetime
+
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"), n_buckets=2, compact_every=0,
+        scd2_check_cols=["tokens", "n_tok", "source"],
+    )
+    batch0 = spark.createDataFrame(
+        [
+            ("a", 1, "I", [1, 2], 2, None, None, 0, ts(1)),
+            ("a", 2, "U", [1, 2], 2, None, None, 0, ts(2)),   # no-op update
+            ("a", 3, "U", [3, 4], 2, None, None, 0, ts(3)),   # real change
+            ("b", 1, "I", [9], 1, None, None, 0, ts(1)),
+        ],
+        CHANGE_EVENT_SCHEMA,
+    )
+    pipe.apply_batch(batch0, 0)
+    hist = {
+        (r.doc_id, r.lsn) for r in pipe.history_df().collect()
+    }
+    assert hist == {("a", 1), ("a", 3), ("b", 1)}  # lsn 2 gated out
+
+    # batch 1: no-op vs STORED current (gated), then delete (kept)
+    batch1 = spark.createDataFrame(
+        [
+            ("a", 4, "U", [3, 4], 2, None, None, 0, ts(4)),   # no-op vs stored
+            ("b", 2, "D", None, None, None, None, 0, ts(4)),
+        ],
+        CHANGE_EVENT_SCHEMA,
+    )
+    pipe.apply_batch(batch1, 1)
+    hist = {(r.doc_id, r.lsn) for r in pipe.history_df().collect()}
+    assert hist == {("a", 1), ("a", 3), ("b", 1), ("b", 2)}
+    # closure still correct: a@3 is current, b tombstoned
+    cur = {r.doc_id: r.lsn for r in pipe.history_df().filter("is_current").collect()}
+    assert cur == {"a": 3}
+    # target table is UNaffected by the gate (merge keeps lsn-LWW)
+    tgt = {r.doc_id: r.lsn for r in pipe.current_state().collect()}
+    assert tgt == {"a": 4}

@@ -56,3 +56,35 @@ def test_df_cap_above_fixture_df_is_a_noop(spark, boilerplate_docs):
         boilerplate_docs, "doc_id", "text", threshold=0.5, max_doc_freq=100
     )
     assert sorted(map(tuple, lo.collect())) == sorted(map(tuple, hi.collect()))
+
+
+def test_ivf_self_contained_and_cluster_cap(spark):
+    """IVF without a precomputed label: the sign-LSH quantizer derives
+    clusters from the data; a degenerate cluster above max_cluster is
+    dropped from the pair join instead of going quadratic."""
+    import numpy as np
+
+    from data_pipeline_spark.operators.similarity import ivf_threshold_pairs
+
+    rng = np.random.default_rng(3)
+    # 30 vectors: 20 copies of one direction (one degenerate cluster)
+    # + 10 random others
+    base = rng.normal(size=8)
+    rows = [(f"v{i}", (base + rng.normal(scale=0.01, size=8)).tolist())
+            for i in range(20)]
+    rows += [(f"r{i}", rng.normal(size=8).tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, "id string, vec array<double>")
+
+    uncapped = ivf_threshold_pairs(
+        df, "id", "vec", threshold=0.99, dim=8, n_planes=2, max_cluster=None
+    )
+    n_unc = uncapped.count()
+    assert n_unc >= 20 * 19 / 2  # the near-identical copies all pair up
+
+    capped = ivf_threshold_pairs(
+        df, "id", "vec", threshold=0.99, dim=8, n_planes=2, max_cluster=10
+    )
+    got = capped.collect()
+    # the degenerate cluster (>10 members) is dropped entirely
+    assert all(not (r.id_a.startswith("v") and r.id_b.startswith("v")) for r in got)
+    assert len(got) < n_unc
