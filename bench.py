@@ -14,11 +14,17 @@ Default mode (what the driver runs):
        "queries": {...}, "sf": ..., "cdc_replay": {...}}
 
 Scaling mode (evidence for the north_rule's N→4N criterion):
-  python bench.py --scaling
+  python bench.py --scaling [--levels 2,8] [--repeats 3] [--n-docs N]
   runs the identical replay job on the identical input at two local
-  parallelism levels (local[8] vs local[32], shuffle partitions scaled
-  with cores) in separate processes and reports throughput at both plus
-  efficiency = tput_4N / (4 * tput_N).
+  parallelism levels in separate, taskset-confined JVMs and reports
+  throughput at both plus efficiency = median_tput(4N) /
+  (4 × median_tput(N)) over --repeats back-to-back pairs (median-of-N
+  because the shared-host numbers wobble; every raw run is reported).
+  Default levels are 2,8 — cores 8→32 on this VM hit the single-host
+  memory-bandwidth ceiling (see BENCH.md), which a real 4× cluster
+  does not.  --scaling defaults to the documented headline input
+  (600k docs ≈ 8.3M events); plain bench mode uses the smaller
+  REPLAY_CFG so the per-round driver run stays fast.
 
 Internal worker mode (used by --scaling):
   python bench.py --replay-only --cpus 8 --log-dir ... --work-dir ...
@@ -74,6 +80,18 @@ REPLAY_CFG = dict(
     n_files=16,
     min_tok=32,
     max_tok=192,
+)
+
+# the documented headline input for --scaling (BENCH.md): ~8.3M events
+# over 600k docs, tokens 64-256 — the exact config behind the reported
+# N→4N numbers, reproducible via `python bench.py --scaling`.
+SCALING_CFG = dict(
+    n_docs=600_000,
+    seed=7,
+    n_partitions=32,
+    n_files=16,
+    min_tok=64,
+    max_tok=256,
 )
 REPLAY_FILES_PER_BATCH = 8
 REPLAY_BUCKETS = 64
@@ -136,10 +154,10 @@ def run_replay(spark, log_dir: str, work_dir: str, n_events: int) -> dict:
     }
 
 
-def synth_log(log_dir: str) -> dict:
+def synth_log(log_dir: str, cfg: dict | None = None) -> dict:
     from data_pipeline_spark.cdc.synth import generate_change_log
 
-    return generate_change_log(log_dir, **REPLAY_CFG)
+    return generate_change_log(log_dir, **(cfg or REPLAY_CFG))
 
 
 def _worker(cpus: int, log_dir: str, work_dir: str, n_events: int) -> None:
@@ -159,8 +177,33 @@ def _worker(cpus: int, log_dir: str, work_dir: str, n_events: int) -> None:
         spark.stop()
 
 
-def run_scaling(log_dir: str, n_events: int, levels=(2, 8)) -> dict:
-    """Same job, same input, two parallelism levels, separate JVMs.
+def _run_level(cpus: int, log_dir: str, n_events: int, have_taskset: bool) -> dict:
+    with tempfile.TemporaryDirectory(prefix=f"bench-scale-{cpus}-") as wd:
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--replay-only", "--cpus", str(cpus),
+            "--log-dir", log_dir, "--work-dir", wd,
+            "--n-events", str(n_events),
+        ]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True, cwd=REPO_ROOT
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def run_scaling(log_dir: str, n_events: int, levels=(2, 8), repeats: int = 3) -> dict:
+    """Same job, same input, two parallelism levels, separate JVMs,
+    `repeats` back-to-back pairs; the headline efficiency uses the
+    per-level MEDIAN throughput (single-host numbers on a shared
+    hypervisor wobble ±20%) and every raw run is reported.
 
     Each level is confined to exactly that many CPUs with taskset (when
     available): an unconfined local[N] JVM still runs JIT-compiler, GC
@@ -170,30 +213,26 @@ def run_scaling(log_dir: str, n_events: int, levels=(2, 8)) -> dict:
     import shutil as _sh
 
     have_taskset = _sh.which("taskset") is not None
-    results = {}
-    for cpus in levels:
-        with tempfile.TemporaryDirectory(prefix=f"bench-scale-{cpus}-") as wd:
-            cmd = [
-                sys.executable, os.path.abspath(__file__),
-                "--replay-only", "--cpus", str(cpus),
-                "--log-dir", log_dir, "--work-dir", wd,
-                "--n-events", str(n_events),
-            ]
-            if have_taskset:
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, check=True, cwd=REPO_ROOT
-            )
-            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+    # alternate levels within each repeat so host drift hits both sides
+    for _ in range(max(1, repeats)):
+        for cpus in levels:
+            runs[cpus].append(_run_level(cpus, log_dir, n_events, have_taskset))
     lo, hi = min(levels), max(levels)
     ratio = hi / lo
-    eff = results[hi]["events_per_sec"] / (ratio * results[lo]["events_per_sec"])
+    med = {c: _median([r["events_per_sec"] for r in runs[c]]) for c in levels}
+    eff_each = [
+        round(h["events_per_sec"] / (ratio * l["events_per_sec"]), 3)
+        for l, h in zip(runs[lo], runs[hi])
+    ]
     return {
-        f"local[{lo}]": results[lo],
-        f"local[{hi}]": results[hi],
+        f"local[{lo}]": {"median_events_per_sec": med[lo], "runs": runs[lo]},
+        f"local[{hi}]": {"median_events_per_sec": med[hi], "runs": runs[hi]},
         "core_ratio": ratio,
+        "repeats": max(1, repeats),
         "cpu_confinement": "taskset" if have_taskset else "none",
-        "scaling_efficiency": round(eff, 3),
+        "per_pair_efficiency": eff_each,
+        "scaling_efficiency": round(med[hi] / (ratio * med[lo]), 3),
     }
 
 
@@ -207,21 +246,34 @@ def main() -> None:
     ap.add_argument("--log-dir", default=None)
     ap.add_argument("--work-dir", default=None)
     ap.add_argument("--n-events", type=int, default=0)
+    ap.add_argument("--n-docs", type=int, default=None,
+                    help="override the synthetic log's document count")
+    ap.add_argument("--levels", default="2,8",
+                    help="comma-separated core counts for --scaling")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="back-to-back pairs for --scaling (median reported)")
     args = ap.parse_args()
 
     if args.replay_only:
         _worker(args.cpus or 8, args.log_dir, args.work_dir, args.n_events)
         return
 
+    cfg = dict(SCALING_CFG if args.scaling else REPLAY_CFG)
+    if args.n_docs:
+        cfg["n_docs"] = args.n_docs
+
     tmp = tempfile.mkdtemp(prefix="bench-cdc-")
     log_dir = os.path.join(tmp, "changelog")
     try:
-        log_stats = synth_log(log_dir)
+        log_stats = synth_log(log_dir, cfg)
         n_events = log_stats["total_events"]
 
         if args.scaling:
-            scaling = run_scaling(log_dir, n_events)
-            print(json.dumps({"scaling": scaling, "log": log_stats}, indent=2))
+            levels = tuple(int(x) for x in args.levels.split(","))
+            scaling = run_scaling(log_dir, n_events, levels, args.repeats)
+            print(json.dumps(
+                {"scaling": scaling, "log": log_stats, "cfg": cfg}, indent=2
+            ))
             return
 
         from data_pipeline_spark.session import build_session

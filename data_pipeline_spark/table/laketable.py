@@ -73,6 +73,18 @@ class Snapshot:
     applied_batches: dict[str, dict[str, Any]]
     parent: int | None
     committed_at: str
+    # per-prefix high-watermark over numeric batch-key suffixes: all
+    # epochs <= watermarks[prefix] are applied (and their explicit
+    # entries may have been compacted away).  Keeps snapshot metadata
+    # O(1) in table history instead of one entry per commit forever.
+    watermarks: dict[str, int] = None  # type: ignore[assignment]
+
+
+# explicit applied-batch entries retained per prefix beyond the
+# watermark (for operator introspection of recent commits)
+KEEP_RECENT_BATCHES = 16
+
+_BATCH_KEY_RE = __import__("re").compile(r"(.*?)(\d+)")
 
 
 class LakeTable:
@@ -148,6 +160,7 @@ class LakeTable:
             applied_batches=m["applied_batches"],
             parent=m["parent"],
             committed_at=m["committed_at"],
+            watermarks=m.get("watermarks", {}),
         )
 
     def _publish(self, meta: dict[str, Any]) -> None:
@@ -193,8 +206,21 @@ class LakeTable:
         return bucket_expr(key_col or self.key_col, self.n_buckets)
 
     def has_batch(self, batch_key: str) -> bool:
-        """Exactly-once guard: was this (epoch) batch already committed?"""
-        return str(batch_key) in self.snapshot.applied_batches
+        """Exactly-once guard: was this (epoch) batch already committed?
+
+        True if the key has an explicit entry OR its numeric suffix is
+        at-or-below its prefix's compaction watermark (watermarks only
+        ever advance over contiguously-applied epochs, so a covered key
+        was definitely committed)."""
+        k = str(batch_key)
+        if k in self.snapshot.applied_batches:
+            return True
+        m = _BATCH_KEY_RE.fullmatch(k)
+        if m:
+            return int(m.group(2)) <= (self.snapshot.watermarks or {}).get(
+                m.group(1), -1
+            )
+        return False
 
     def file_stats(self) -> dict[int, int]:
         """bucket -> file count (drives the compaction trigger)."""
@@ -299,12 +325,14 @@ class LakeTable:
             "applied_batches": dict(snap.applied_batches),
             "parent": snap.version,
             "committed_at": _utcnow_iso(),
+            "watermarks": dict(snap.watermarks or {}),
         }
         if batch_key is not None:
             meta["applied_batches"][str(batch_key)] = {
                 "committed_at": meta["committed_at"],
                 **(batch_info or {}),
             }
+        _compact_applied_batches(meta["applied_batches"], meta["watermarks"])
         self._publish(meta)
         self._snapshot = self._load_snapshot(meta["version"])
 
@@ -405,6 +433,34 @@ class LakeTable:
                     os.remove(os.path.join(full_bdir, fname))
                     removed += 1
         return removed
+
+
+def _compact_applied_batches(
+    applied: dict[str, Any], watermarks: dict[str, int]
+) -> None:
+    """Bound snapshot metadata: advance each prefix's watermark over
+    CONTIGUOUSLY-applied numeric epochs (0,1,2,… — the shape Spark's
+    foreachBatch and replay_batches produce) and drop explicit entries
+    more than KEEP_RECENT_BATCHES below it.  Non-contiguous or
+    non-numeric keys are never dropped (the watermark simply does not
+    advance past a hole), so has_batch stays exact — this turns commit
+    metadata from O(commits) into O(1) without weakening exactly-once.
+    """
+    by_prefix: dict[str, list[tuple[int, str]]] = {}
+    for k in applied:
+        m = _BATCH_KEY_RE.fullmatch(k)
+        if m:
+            by_prefix.setdefault(m.group(1), []).append((int(m.group(2)), k))
+    for prefix, items in by_prefix.items():
+        present = {n for n, _ in items}
+        w = watermarks.get(prefix, -1)
+        while w + 1 in present:
+            w += 1
+        watermarks[prefix] = w
+        cutoff = w - KEEP_RECENT_BATCHES
+        for n, k in items:
+            if n <= cutoff:
+                del applied[k]
 
 
 def _utcnow_iso() -> str:

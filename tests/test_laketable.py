@@ -135,3 +135,39 @@ def test_exactly_once_guard(spark, tmp_path):
     t.record_batch("1", {"rows": 0})
     assert t.has_batch("1")
     assert t.read().count() == 1
+
+
+def test_applied_batches_metadata_stays_bounded(spark, tmp_path):
+    """O(1) commit metadata: 300 sequential epoch commits must not grow
+    applied_batches (watermark compaction), and has_batch must stay
+    exact for compacted epochs."""
+    import json
+    import os
+
+    from data_pipeline_spark.table.laketable import (
+        KEEP_RECENT_BATCHES,
+        LakeTable,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", LongType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, key_col="k", n_buckets=2)
+    for epoch in range(300):
+        t.record_batch(str(epoch), {"n": epoch})
+    assert len(t.snapshot.applied_batches) <= KEEP_RECENT_BATCHES + 1
+    assert t.snapshot.watermarks == {"": 299}
+    for probe in (0, 5, 150, 283, 299):
+        assert t.has_batch(str(probe))
+    assert not t.has_batch("300")
+    # a NON-contiguous prefix never advances its watermark → exact keys
+    t.record_batch("control-7", {})
+    assert t.has_batch("control-7") and not t.has_batch("control-6")
+    # final snapshot json is small in absolute terms
+    v = t.current_version()
+    size = os.path.getsize(str(tmp_path / "t" / "metadata" / f"v{v}.json"))
+    assert size < 16_384
+    # reload from disk sees the same compacted state
+    t2 = LakeTable.load(spark, str(tmp_path / "t"))
+    assert t2.has_batch("5") and t2.has_batch("control-7")
