@@ -11,6 +11,14 @@ from .schema import (
 from .dedup import lww_reduce, dedup_arrivals
 from .merge import merge_into
 from .pipeline import CdcPipeline
+from .scd2 import apply_history, as_of, current
+from .stream import (
+    decode_kafka_value,
+    kafka_reader_options,
+    kafka_source,
+    replay_batches,
+    run_stream,
+)
 
 __all__ = [
     "CHANGE_EVENT_SCHEMA",
@@ -25,4 +33,12 @@ __all__ = [
     "dedup_arrivals",
     "merge_into",
     "CdcPipeline",
+    "apply_history",
+    "as_of",
+    "current",
+    "decode_kafka_value",
+    "kafka_reader_options",
+    "kafka_source",
+    "replay_batches",
+    "run_stream",
 ]

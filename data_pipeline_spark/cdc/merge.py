@@ -45,6 +45,7 @@ def merge_into(
     changes: DataFrame,
     batch_id: int | str,
     shuffle_partitions: int | None = None,
+    observation=None,
 ) -> dict:
     """Apply a change set to the table; returns metrics.
 
@@ -98,6 +99,17 @@ def merge_into(
         batch_stamp.alias("_batch_id"),
         F.current_timestamp().alias("_applied_at"),
     )
+    if observation is not None:
+        # per-batch metrics ride the merge scan (SURVEY.md §2.4
+        # observe()): no extra Spark job — the aggregates accumulate as
+        # the write action streams past this node
+        d_side = d_side.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
+        )
     t_side = t.select(
         F.col(key),
         F.col(BUCKET_COL),

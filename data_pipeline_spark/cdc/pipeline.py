@@ -53,6 +53,7 @@ class CdcPipeline:
         max_files_per_bucket: int = 8,
         expire_snapshots: bool = False,
         scd2_check_cols: list[str] | None = None,
+        lineage_mode: str = "partition",
     ):
         self.spark = spark
         self.base_dir = os.path.abspath(base_dir)
@@ -65,6 +66,15 @@ class CdcPipeline:
         # optional check-cols SCD2 (C4): only attr-hash-changed updates
         # open history versions; None = version every distinct lsn
         self.scd2_check_cols = scd2_check_cols
+        # lineage granularity: "partition" = per-kafka-partition rows
+        # via a (column-pruned) aggregation job per batch; "observed" =
+        # one global row whose metrics ride the merge / dead-letter
+        # actions via observe() — zero extra aggregation jobs
+        # (SURVEY.md §2.4).  Observed mode cannot produce per-partition
+        # breakdowns or exact distinct counts (observe() has no groupBy
+        # and no count_distinct), so rows_deduped is null there.
+        assert lineage_mode in ("partition", "observed")
+        self.lineage_mode = lineage_mode
         self._batches_applied = 0
 
         def tbl(name: str, schema, key: str, nb: int) -> LakeTable:
@@ -133,13 +143,27 @@ class CdcPipeline:
         # stays per-table (each commit carries the batch manifest).
         stats: dict = {"batch_id": batch_id}
 
+        observed = (
+            self.collect_metrics and self.lineage_mode == "observed"
+        )
+
         def _merge():
             # the merge's per-(bucket, key) max_by reduce IS the LWW:
             # multiple versions of a key collapse map-side (partial
             # aggregation = natural salting for hot keys) before the one
             # merge shuffle — no separate lww_reduce pass needed.
             if not self.target.has_batch(bkey):
-                stats["merge"] = merge_into(self.target, events, batch_id)
+                obs = None
+                if observed:
+                    from pyspark.sql import Observation
+
+                    obs = Observation(f"merge-{bkey}")
+                stats["merge"] = merge_into(
+                    self.target, events, batch_id, observation=obs
+                )
+                if obs is not None and stats["merge"]["buckets"]:
+                    # the merge action has completed → get() is immediate
+                    stats["observed_merge"] = obs.get
 
         def _history():
             if self.history is not None and not self.history.has_batch(bkey):
@@ -160,10 +184,20 @@ class CdcPipeline:
                 failure.alias("failure_reason"),
                 F.current_timestamp().alias("quarantined_at"),
             )
+            obs = None
+            if observed:
+                from pyspark.sql import Observation
+
+                obs = Observation(f"dead-{bkey}")
+                dl = dl.observe(obs, F.count(F.lit(1)).alias("rows_dead"))
             self.dead_letter.append(dl, batch_key=bkey)
+            if obs is not None:
+                stats["observed_dead"] = obs.get
 
         def _lineage():
-            if not self.collect_metrics or self.lineage.has_batch(bkey):
+            if not self.collect_metrics or self.lineage_mode == "observed":
+                return
+            if self.lineage.has_batch(bkey):
                 return
             per_part = non_schema.groupBy("partition").agg(
                 F.count("*").alias("_all"),
@@ -194,6 +228,29 @@ class CdcPipeline:
             ]
             for f in futures:
                 f.result()  # re-raise the first failure
+
+        # observed-mode lineage: one global row built from the metrics
+        # that rode the merge + dead-letter actions — a 1-row write, no
+        # aggregation job over the batch
+        if observed and not self.lineage.has_batch(bkey):
+            om = stats.get("observed_merge", {})
+            od = stats.get("observed_dead", {})
+            n_dead = int(od.get("rows_dead") or 0)
+            row = {
+                "batch_id": int(batch_id),
+                "partition": -1,  # global (no per-partition breakdown)
+                "rows_in": int(om.get("rows_in") or 0) + n_dead,
+                "rows_deduped": None,  # needs count_distinct → job mode
+                "rows_dead_letter": n_dead,
+                "min_lsn": om.get("min_lsn"),
+                "max_lsn": om.get("max_lsn"),
+            }
+            lin = self.spark.createDataFrame(
+                [tuple(row.values())],
+                "batch_id long, partition int, rows_in long, rows_deduped long,"
+                " rows_dead_letter long, min_lsn long, max_lsn long",
+            ).withColumn("applied_at", F.current_timestamp())
+            self.lineage.append(lin, batch_key=bkey)
 
         # -- 7. maintenance ----------------------------------------
         self._batches_applied += 1

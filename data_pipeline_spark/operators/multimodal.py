@@ -75,16 +75,21 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
 
 
 def extract_features(
-    media: DataFrame, rows_per_batch: int = 256
+    media: DataFrame, rows_per_batch: int | None = 256
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow batch height is capped via maxRecordsPerBatch so a partition
-    of large blobs cannot blow worker memory."""
+    of large blobs cannot blow worker memory.  NOTE: that conf is
+    session-wide (Spark has no per-operation Arrow batch size) and must
+    hold at EXECUTION time, so this builder sets it eagerly and leaves
+    it set — callers who need a different global value pass
+    rows_per_batch=None and manage the conf themselves."""
     spark = media.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)
-    )
+    if rows_per_batch is not None:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)
+        )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

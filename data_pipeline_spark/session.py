@@ -21,28 +21,34 @@ def _parse_mem_bytes(s: str) -> int:
 
 
 # Estimated per-group aggregation-buffer footprint for the engine's
-# widest reduce: one packed row of ~160-192 int32 tokens (~768 B data)
-# plus JVM object/UnsafeRow overhead.  Deliberately pessimistic — the
-# valve exists to prevent OOM, not to be precise.
-_EST_AGG_ROW_BYTES = 4096
+# widest reduce: one packed row of ~160-192 int32 tokens ≈ 1 KB
+# including UnsafeRow overhead, doubled for safety.  NOT more
+# pessimistic than that: an oversized estimate shrinks the threshold
+# until it trips on the NORMAL workload, and a sort fallback that only
+# fires on the larger cluster is an anti-scaling bug (a wide-parallelism
+# leg has a smaller per-core heap share, so its threshold is lower —
+# if the expected per-task group count lands between the two thresholds
+# the big cluster sorts while the small one hashes).
+_EST_AGG_ROW_BYTES = 2048
 
 
 def _agg_fallback_threshold(heap: str, ncores: int) -> int:
     """Max in-flight hash-aggregation groups per task before falling
     back to sort-based aggregation, sized so ncores concurrent tasks'
-    aggregation state fits comfortably in execution memory:
+    aggregation state fits in the execution-memory pool:
 
-        heap × 0.36 (memory.fraction 0.6 × 0.6 headroom) / ncores
+        heap × 0.5 (memory.fraction 0.6, storage evictable) / ncores
              / _EST_AGG_ROW_BYTES
 
-    e.g. 8 GB / 8 cores → ~94k groups per task (≈380 MB state/task);
-    64 GB / 32 cores → ~180k.  Clamped to [16384, 4194304]: the floor
-    keeps realistic CDC reduces (tens of thousands of keys per bucket
-    partition) on the hash path even on tiny test heaps, the ceiling is
-    the round-1 constant.  On an OOM-prone deployment lower
+    e.g. 8 GB / 2 cores → ~1.0M groups per task; 20 GB / 8 cores →
+    ~640k (≈1.3 GB state/task at the 2 KB estimate — the estimate
+    already carries 2× headroom).  Clamped to [65536, 4194304]: the
+    floor keeps bucket-sized CDC reduces (~100-300k (key,lsn) groups
+    per bucket partition) on the hash path even on small heaps, the
+    ceiling is the round-1 constant.  On an OOM-prone deployment lower
     SPARK_GRAFT_DRIVER_MEM-per-core and this scales down with it."""
-    exec_per_core = _parse_mem_bytes(heap) * 0.36 / max(ncores, 1)
-    return max(16384, min(4194304, int(exec_per_core / _EST_AGG_ROW_BYTES)))
+    exec_per_core = _parse_mem_bytes(heap) * 0.5 / max(ncores, 1)
+    return max(65536, min(4194304, int(exec_per_core / _EST_AGG_ROW_BYTES)))
 
 
 def build_session(

@@ -1,4 +1,11 @@
-from .readers import read_csv_validated, read_json_validated, ValidatedRead
+from .readers import (
+    FieldSpec,
+    ValidatedRead,
+    df_to_arrow,
+    load_arrow,
+    read_csv_validated,
+    read_json_validated,
+)
 from .rules import compile_rule, apply_rules
 from .specs import (
     SourceSpec,
@@ -12,6 +19,9 @@ from .specs import (
 
 __all__ = [
     "read_csv_validated",
+    "FieldSpec",
+    "df_to_arrow",
+    "load_arrow",
     "read_json_validated",
     "ValidatedRead",
     "compile_rule",

@@ -27,6 +27,7 @@ class FieldSpec:
     allowed_values: list | None = None
     min_value: float | None = None
     max_value: float | None = None
+    xpath: str | None = None       # XML sources only (S4): extraction path
 
 
 @dataclass
@@ -132,3 +133,29 @@ def read_json_validated(
             warnings=out.warnings.withColumn("_load_id", F.lit(load_id)),
         )
     return out
+
+
+def load_arrow(spark: SparkSession, table) -> DataFrame:
+    """S7 — zero-copy Arrow load (reference loader.py:114-134: DuckDB
+    registers the Arrow table and INSERT-SELECTs from it without a row
+    conversion).  Spark 4 accepts a pyarrow.Table directly in
+    createDataFrame — the data crosses into the JVM as Arrow IPC
+    batches, no per-row Python materialisation; older Sparks fall back
+    to the Arrow-accelerated pandas path (same wire format)."""
+    try:
+        return spark.createDataFrame(table)
+    except TypeError:
+        return spark.createDataFrame(table.to_pandas())
+
+
+def df_to_arrow(df: DataFrame):
+    """The return path: DataFrame → pyarrow.Table via the Arrow
+    collect endpoint (toArrow in Spark 4; _collect_as_arrow before),
+    for handing results to DuckDB / parquet writers driver-side.
+    Driver-memory-bound by definition — extracts and reports, never in
+    the hot path."""
+    if hasattr(df, "toArrow"):
+        return df.toArrow()
+    import pyarrow as pa
+
+    return pa.Table.from_batches(df._collect_as_arrow())  # noqa: SLF001

@@ -258,6 +258,7 @@ def spec_from_dict(d: dict) -> SourceSpec:
                 allowed_values=f.get("allowed_values"),
                 min_value=f.get("min_value"),
                 max_value=f.get("max_value"),
+                xpath=f.get("xpath"),
             )
         )
     rules = []
@@ -323,7 +324,18 @@ def read_with_spec(spark, path: str, spec: SourceSpec, load_id=None) -> Validate
         return read_json_validated(
             spark, path, spec.fields, rules=spec.rules, load_id=load_id
         )
-    raise ValueError(
-        f"unsupported source format {spec.format!r} (XML is out of scope v1, "
-        "SURVEY.md §7.4)"
-    )
+    if spec.format == "xml":
+        from .xml import read_xml_validated
+
+        src = spec.raw.get("source", {}) or {}
+        xml_cfg = spec.raw.get("xml_config", {}) or {}
+        return read_xml_validated(
+            spark,
+            path,
+            spec.fields,
+            row_element=src.get("row_element", "row"),
+            namespaces=xml_cfg.get("namespaces"),
+            rules=spec.rules,
+            load_id=load_id,
+        )
+    raise ValueError(f"unsupported source format {spec.format!r}")

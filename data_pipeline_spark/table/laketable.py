@@ -414,7 +414,14 @@ class LakeTable:
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by snapshots older than the
         last `keep_last` (Iceberg expire_snapshots analogue). Metadata
-        JSONs are kept (tiny); only unreachable parquet is removed."""
+        JSONs are kept (tiny); only unreachable parquet is removed.
+
+        Scale note: this walks the data directory, so cost is O(files
+        on disk).  Called periodically (the pipeline's compaction hook)
+        that stays bounded — dead files only accumulate between calls,
+        and compaction caps live files per bucket.  A 10^10-row
+        deployment on real Iceberg gets this from the catalog's
+        manifest diff instead of a listing."""
         cur = self.current_version()
         keep_versions = list(range(max(0, cur - keep_last + 1), cur + 1))
         live: set[str] = set()

@@ -246,3 +246,37 @@ def test_scd2_check_cols_gate(spark, tmp_path):
     # target table is UNaffected by the gate (merge keeps lsn-LWW)
     tgt = {r.doc_id: r.lsn for r in pipe.current_state().collect()}
     assert tgt == {"a": 4}
+
+
+def test_observed_lineage_mode(spark, tmp_path):
+    """lineage_mode='observed': per-batch metrics ride the merge and
+    dead-letter actions via observe() — no aggregation job — and land
+    as one global lineage row per batch."""
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+    rows = [
+        ("d1", 1, "I", [1, 2], 2, None, None, 0, None),
+        ("d1", 2, "U", [3], 1, None, None, 0, None),
+        ("d2", 5, "I", [9], 1, None, None, 1, None),
+        ("d2", 6, "D", None, None, None, None, 1, None),
+        (None, 7, "I", [1], 1, None, None, 1, None),     # dead: null key
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"), n_buckets=4, compact_every=0,
+        lineage_mode="observed",
+    )
+    stats = pipe.apply_batch(df, 0)
+    assert stats["observed_merge"]["rows_in"] == 4
+    assert stats["observed_merge"]["min_lsn"] == 1
+    assert stats["observed_merge"]["max_lsn"] == 6
+    assert stats["observed_merge"]["deletes"] == 1
+    (lin,) = pipe.lineage.read().collect()
+    assert lin.partition == -1
+    assert lin.rows_in == 5           # 4 valid + 1 dead
+    assert lin.rows_dead_letter == 1
+    assert (lin.min_lsn, lin.max_lsn) == (1, 6)
+    assert lin.rows_deduped is None
+    # idempotent replay of the same epoch: no duplicate lineage row
+    pipe.apply_batch(df, 0)
+    assert pipe.lineage.refresh().read().count() == 1

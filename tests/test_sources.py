@@ -106,3 +106,24 @@ def test_extract_window_and_sink(spark, tmp_path):
             for line in fh:
                 ids.add(json.loads(line)["id"])
     assert ids == {"b", "c"}
+
+
+def test_arrow_roundtrip(spark):
+    """S7 — Arrow table in, Arrow table out, values and schema intact."""
+    import pyarrow as pa
+
+    from data_pipeline_spark.sources.readers import df_to_arrow, load_arrow
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", "c"]),
+            "v": pa.array([1, 2, 3], type=pa.int64()),
+            "tokens": pa.array([[1, 2], [3], []], type=pa.list_(pa.int32())),
+        }
+    )
+    df = load_arrow(spark, t)
+    assert df.count() == 3
+    assert dict(df.dtypes)["tokens"] == "array<int>"
+    back = df_to_arrow(df.orderBy("k"))
+    assert back.column("k").to_pylist() == ["a", "b", "c"]
+    assert back.column("tokens").to_pylist() == [[1, 2], [3], []]
