@@ -597,6 +597,22 @@ def _q_rules_quarantine(spark, sf):
 # exact same transforms that ControlRunner persists per epoch.
 # ----------------------------------------------------------------------
 
+def _q_dedup_groups(spark, sf):
+    """Near-dup pair list → connected components with min-id canonical
+    labels (keep-one dedup groups).  Pairs come from the exact n-gram
+    Jaccard verifier; components via iterative min-label propagation
+    (operators/dedupe.py dedup_components)."""
+    from data_pipeline_spark.operators.dedupe import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = _load(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    comp = dedup_components(pairs.select("id_a", "id_b"))
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def _lineage_like(spark, sf):
     """events → per-(partition, batch) lineage spans: partition = a
     synthetic kafka partition, batch = fixed-width lsn range."""
@@ -696,6 +712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sampling": _q_frame_sampling,
     "payload_hash_audit": _q_payload_hash_audit,
     "date_time_keys": _q_date_time_keys,
+    "dedup_groups": _q_dedup_groups,
     "lineage_gap_check": _q_lineage_gap_check,
     "batch_completeness": _q_batch_completeness,
     "freshness_check": _q_freshness_check,
@@ -1148,6 +1165,32 @@ SELECT event_id,
        CAST(strftime(ts, '%H%M%S') AS BIGINT) AS time_key,
        CAST(epoch_us(ts) % 1000000 // 1000 AS BIGINT) AS millis
 FROM events
+"""
+
+    # dedup_groups: transitive closure by recursive CTE — label
+    # propagation along the symmetric near-dup edges, min label per
+    # node == min id in the connected component (the Spark operator's
+    # fixpoint answer, engine-independent).
+    sql["dedup_groups"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+  WHERE round(ni / (x.n + y.n - ni), 4) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src)
+SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
 """
 
     _LINEAGE_CTE = """

@@ -244,3 +244,74 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else (fp + term)
     return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pair list → connected components: every document in a
+    component shares a chain of near-dup pairs, and the component label
+    is the MINIMUM id in it (the canonical survivor in keep-one dedup).
+    Returns (id, component).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbours' labels); converged when no label
+    changes.  Rounds needed = graph diameter; near-dup components are
+    small dense clusters (diameter 2-4 in practice), so this converges
+    in a few rounds.  Each round is one join + one groupBy (two
+    shuffles on the id) over the PAIR LIST, not the corpus — the input
+    is already the LSH/Jaccard output, orders of magnitude smaller than
+    the document table.  At 10^10-doc scale with adversarial chain-
+    shaped components, switch to the large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce") — same
+    primitive ops, O(log n) rounds; the simple variant is the right
+    default for near-dup graphs.
+
+    The per-round convergence check is one small driver action (count
+    of changed labels); labels are cached per round and the previous
+    round's cache is released.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    labels.cache()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

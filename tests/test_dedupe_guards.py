@@ -88,3 +88,17 @@ def test_ivf_self_contained_and_cluster_cap(spark):
     # the degenerate cluster (>10 members) is dropped entirely
     assert all(not (r.id_a.startswith("v") and r.id_b.startswith("v")) for r in got)
     assert len(got) < n_unc
+
+
+def test_dedup_components_chain_and_islands(spark):
+    """Min-label propagation must cross chains (diameter > 1) and keep
+    disjoint islands separate."""
+    from data_pipeline_spark.operators.dedupe import dedup_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"),   # chain a-b-c-d (diameter 3)
+         ("x", "y")],                           # separate island
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.component for r in dedup_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
