@@ -12,6 +12,7 @@ from .dedup import lww_reduce, dedup_arrivals
 from .merge import merge_into
 from .pipeline import CdcPipeline
 from .scd2 import apply_history, as_of, current
+from .stateful import running_doc_state
 from .stream import (
     decode_kafka_value,
     kafka_reader_options,
@@ -41,4 +42,5 @@ __all__ = [
     "kafka_source",
     "replay_batches",
     "run_stream",
+    "running_doc_state",
 ]

@@ -93,3 +93,58 @@ def test_lww_salted_aggregation_two_phase(spark):
     assert "partial_max_by" in plan  # map-side combine present
     # two-phase: (key, salt) reduce then (key) reduce
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_jaccard_df_cap_is_broadcast_anti_join(spark):
+    """The hot-shingle guard must be a broadcast LEFT ANTI join (the hot
+    set is tiny by construction), not a shuffled join of all shingles."""
+    from data_pipeline_spark.operators.dedupe import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=100)
+    plan = _plan(out)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan) or re.search(
+        r"BroadcastNestedLoopJoin .*LeftAnti", plan
+    )
+
+
+def test_ivf_cluster_cap_is_broadcast_anti_join(spark):
+    from data_pipeline_spark.operators.similarity import ivf_threshold_pairs
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    out = ivf_threshold_pairs(
+        emb, "vec_id", "embedding", threshold=0.5, dim=64, max_cluster=100
+    )
+    plan = _plan(out)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+
+
+def test_observed_merge_same_result(spark, tmp_path):
+    """observe() metrics ride the existing merge action — the merged
+    table must be identical with and without the observation node."""
+    from pyspark.sql import Observation
+
+    from data_pipeline_spark.cdc.merge import merge_into
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA, TARGET_SCHEMA_BASE
+    from data_pipeline_spark.table.laketable import LakeTable
+
+    rows = [("d%d" % i, i, "I", [1, i], 2, None, None, 0, None) for i in range(50)]
+    changes = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+    def run(obs):
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / ("t-obs" if obs else "t-plain")),
+            TARGET_SCHEMA_BASE,
+            key_col="doc_id",
+            n_buckets=4,
+        )
+        o = Observation("m") if obs else None
+        merge_into(t, changes, 0, observation=o)
+        return t
+
+    plain = run(False)
+    observed = run(True)
+    assert (
+        plain.read().count() == observed.read().count() == 50
+    )
