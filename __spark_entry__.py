@@ -980,12 +980,22 @@ FROM fp GROUP BY 1 HAVING count(*) > 1
     sql["minhash_lsh_candidates"] = _lsh_sql(8, 2)
     sql["simhash"] = _simhash_sql(16)
 
+    # shc = shingle set after the df-cap (max_doc_freq=100000), the
+    # SAME cap the Spark operator applies by default — keeping both
+    # sides capped so a boilerplate-heavy corpus cannot diverge them
+    _CAPPED_SH = """
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= 100000) keep USING (shingle))
+"""
+
     sql["ngram_jaccard_dups"] = f"""
-WITH {_SHINGLES_CTE},
-sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+WITH {_SHINGLES_CTE}, {_CAPPED_SH},
+sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, round(ni / (x.n + y.n - ni), 4) AS jaccard
 FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
@@ -1173,10 +1183,14 @@ FROM events
     # fixpoint answer, engine-independent).
     sql["dedup_groups"] = f"""
 WITH RECURSIVE {_SHINGLES_CTE},
-sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= 100000) keep USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 pairs AS (
   SELECT id_a, id_b

@@ -233,24 +233,47 @@ class CdcPipeline:
         # that rode the merge + dead-letter actions — a 1-row write, no
         # aggregation job over the batch
         if observed and not self.lineage.has_batch(bkey):
-            om = stats.get("observed_merge", {})
-            od = stats.get("observed_dead", {})
-            n_dead = int(od.get("rows_dead") or 0)
-            row = {
-                "batch_id": int(batch_id),
-                "partition": -1,  # global (no per-partition breakdown)
-                "rows_in": int(om.get("rows_in") or 0) + n_dead,
-                "rows_deduped": None,  # needs count_distinct → job mode
-                "rows_dead_letter": n_dead,
-                "min_lsn": om.get("min_lsn"),
-                "max_lsn": om.get("max_lsn"),
-            }
+            if "observed_merge" in stats and "observed_dead" in stats:
+                om, od = stats["observed_merge"], stats["observed_dead"]
+                n_dead = int(od.get("rows_dead") or 0)
+                vals = (
+                    int(om.get("rows_in") or 0) + n_dead,
+                    n_dead,
+                    om.get("min_lsn"),
+                    om.get("max_lsn"),
+                )
+            else:
+                # crash-replay path: merge/dead-letter already committed
+                # this epoch (manifest skip), so no observations rode an
+                # action this time — recompute the same numbers with one
+                # column-pruned aggregation job rather than writing a
+                # garbage zero row
+                agg = non_schema.agg(
+                    F.count(F.lit(1)).alias("rows_in"),
+                    F.sum(F.when(failure.isNotNull(), 1).otherwise(0)).alias(
+                        "rows_dead"
+                    ),
+                    F.min(F.when(failure.isNull(), F.col("lsn"))).alias("min_lsn"),
+                    F.max(F.when(failure.isNull(), F.col("lsn"))).alias("max_lsn"),
+                ).first()
+                vals = (
+                    int(agg["rows_in"] or 0),
+                    int(agg["rows_dead"] or 0),
+                    agg["min_lsn"],
+                    agg["max_lsn"],
+                )
+            rows_in, n_dead, min_lsn, max_lsn = vals
             lin = self.spark.createDataFrame(
-                [tuple(row.values())],
+                [(int(batch_id), -1, rows_in, None, n_dead, min_lsn, max_lsn)],
                 "batch_id long, partition int, rows_in long, rows_deduped long,"
                 " rows_dead_letter long, min_lsn long, max_lsn long",
             ).withColumn("applied_at", F.current_timestamp())
-            self.lineage.append(lin, batch_key=bkey)
+            if rows_in == 0:
+                # empty batch: record the epoch without a zero row
+                # (matches partition mode, whose groupBy emits no rows)
+                self.lineage.record_batch(bkey, {"rows": 0})
+            else:
+                self.lineage.append(lin, batch_key=bkey)
 
         # -- 7. maintenance ----------------------------------------
         self._batches_applied += 1

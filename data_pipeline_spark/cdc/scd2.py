@@ -163,12 +163,20 @@ def _change_gate(
             ]
         )
 
-    cur = existing.filter(F.col("is_current")).select(
-        F.col(key),
-        F.col("lsn"),
-        _attr_hash(existing).alias("_h"),
-        F.lit("C").alias("_gop"),
-        F.lit(False).alias("_gnew"),
+    # bound the window input to the batch's keys: without the semi-join
+    # every current row of every touched bucket would ride the shuffle
+    # (bucket-sized, not batch-sized)
+    batch_keys = nv.select(key).distinct()
+    cur = (
+        existing.filter(F.col("is_current"))
+        .join(batch_keys, key, "semi")
+        .select(
+            F.col(key),
+            F.col("lsn"),
+            _attr_hash(existing).alias("_h"),
+            F.lit("C").alias("_gop"),
+            F.lit(False).alias("_gnew"),
+        )
     )
     inc = nv.select(
         F.col(key),
@@ -178,11 +186,19 @@ def _change_gate(
         F.lit(True).alias("_gnew"),
     )
     w = Window.partitionBy(key).orderBy("lsn", "_gnew", "_h")
-    lagged = cur.unionByName(inc).withColumn("_prev_h", F.lag("_h").over(w))
+    lagged = (
+        cur.unionByName(inc)
+        .withColumn("_prev_h", F.lag("_h").over(w))
+        .withColumn("_prev_op", F.lag("_gop").over(w))
+    )
     keep = lagged.filter(
         F.col("_gnew")
         & (
             (F.col("_gop") == "D")
+            # a row succeeding a tombstone ALWAYS opens a version: the
+            # delete closed the chain, so "unchanged attrs" vs the
+            # tombstone's (all-null) hash must not suppress a re-insert
+            | (F.col("_prev_op") == "D")
             | F.col("_prev_h").isNull()
             | (F.col("_prev_h") != F.col("_h"))
         )

@@ -62,6 +62,10 @@ def _update(
         state.get if state.exists else (-1, 0, False)
     )
     for pdf in pdfs:
+        # tolerate malformed rows (the raw stream contains them by
+        # contract — the pipeline quarantines null-lsn rows, a monitor
+        # must not die on them): count them, ignore them for ordering
+        pdf = pdf[pdf["lsn"].notna()]
         if len(pdf) == 0:
             continue
         n_events += int(len(pdf))

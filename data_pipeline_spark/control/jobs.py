@@ -92,15 +92,11 @@ def lineage_sequence_gaps(lineage: DataFrame) -> DataFrame:
         (F.col("min_lsn") - 1).alias("gap_end"),
         (F.col("min_lsn") - prev_end - 1).alias("gap_size"),
     )
+    from ..operators.windows import gap_severity
+
     return joined.filter(
         F.col("gap_size").isNotNull() & (F.col("gap_size") > 0)
-    ).withColumn(
-        "severity",
-        F.when(F.col("gap_size") <= 10, "LOW")
-        .when(F.col("gap_size") <= 100, "MEDIUM")
-        .when(F.col("gap_size") <= 1000, "HIGH")
-        .otherwise("CRITICAL"),
-    )
+    ).withColumn("severity", gap_severity(F.col("gap_size")))
 
 
 def batch_completeness(lineage: DataFrame) -> DataFrame:

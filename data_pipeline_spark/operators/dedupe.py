@@ -314,4 +314,17 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent wrong answers are worse than failure: an unconverged
+        # exit would split one real component into several (and diverge
+        # from the fully-converged SQL oracle) with no indication
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter (chain-shaped graph); "
+            "raise max_iter or switch to the large-star/small-star variant"
+        )
+    # NOTE: the returned frame is left cached (the propagation lineage is
+    # a deep join chain — recomputing it on unpersist would be worse);
+    # callers streaming it into a write can .unpersist() afterwards.
     return labels

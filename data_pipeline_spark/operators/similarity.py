@@ -66,6 +66,9 @@ def ivf_threshold_pairs(
     vec_col: str,
     cluster_col: str | None = None,
     threshold: float = 0.5,
+    *,  # the quantizer knobs are keyword-only: the round-1 signature had
+    # round_digits in this position, and a silent positional re-bind to
+    # dim would change callers' output precision without an error
     dim: int | None = None,
     n_planes: int = 4,
     seed: int = 7,

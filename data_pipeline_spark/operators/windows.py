@@ -71,15 +71,23 @@ def detect_sequence_gaps(
             (F.col("_cur") - 1).alias("gap_end"),
             (F.col("_cur") - F.col("_prev") - 1).alias("gap_size"),
         )
-        .withColumn(
-            "severity",
-            F.when(F.col("gap_size") <= lo, "LOW")
-            .when(F.col("gap_size") <= mid, "MEDIUM")
-            .when(F.col("gap_size") <= hi, "HIGH")
-            .otherwise("CRITICAL"),
-        )
+        .withColumn("severity", gap_severity(F.col("gap_size"), severity_bounds))
     )
     return out
+
+
+def gap_severity(
+    gap_size, bounds: tuple[int, int, int] = (10, 100, 1000)
+):
+    """The reference's severity ladder (streaming_sequence_gaps.sql:63-68)
+    as a reusable expression — single source of truth for the bounds."""
+    lo, mid, hi = bounds
+    return (
+        F.when(gap_size <= lo, "LOW")
+        .when(gap_size <= mid, "MEDIUM")
+        .when(gap_size <= hi, "HIGH")
+        .otherwise("CRITICAL")
+    )
 
 
 def scd2_close_windowed(

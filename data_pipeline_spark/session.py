@@ -14,10 +14,20 @@ from pyspark.sql import SparkSession
 
 
 def _parse_mem_bytes(s: str) -> int:
+    """Parse a Spark byteString ('8g', '8gb', '512m', '512mb', plain
+    bytes).  Falls back to 8 GiB on anything unparseable — this feeds a
+    heuristic threshold, not a correctness path, and Spark itself will
+    reject a truly bad spark.driver.memory later with a clear error."""
     s = s.strip().lower()
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(s[-1], 1)
-    digits = s[:-1] if s[-1] in "kmgt" else s
-    return int(float(digits)) * mult
+    if s.endswith("b") and len(s) > 1 and s[-2] in "kmgt":
+        s = s[:-1]
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult = units.get(s[-1], 1) if s else 1
+    digits = s[:-1] if s and s[-1] in units else s
+    try:
+        return int(float(digits)) * mult
+    except ValueError:
+        return 8 << 30
 
 
 # Estimated per-group aggregation-buffer footprint for the engine's

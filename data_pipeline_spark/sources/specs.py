@@ -301,15 +301,24 @@ def load_spec_dir(spec_dir: str) -> dict[str, SourceSpec]:
 
 
 def match_spec(path: str, specs: dict[str, SourceSpec]) -> SourceSpec | None:
-    """File → spec dispatch by glob (validator.py:314-328): the first
-    spec whose path_pattern fnmatches the path (with any landing/
-    prefix stripped, as the reference does)."""
+    """File → spec dispatch by glob (validator.py:314-328).
+
+    Two phases across ALL specs: exact full-path glob first (with any
+    landing/ prefix stripped from both sides), then a basename-only
+    fallback.  Interleaving the fallback per-spec would let the first
+    spec whose FILENAME pattern happens to match shadow another spec's
+    exact directory match (e.g. desk/trades_*.csv vs ops/trades_*.csv
+    both ending in trades_*.csv)."""
     rel = path.lstrip("/")
+    if rel.startswith("landing/"):
+        rel = rel[len("landing/"):]
     for spec in specs.values():
         pattern = spec.path_pattern.replace("landing/", "")
-        if fnmatch.fnmatch(rel, pattern) or fnmatch.fnmatch(
-            os.path.basename(path), os.path.basename(pattern)
-        ):
+        if fnmatch.fnmatch(rel, pattern):
+            return spec
+    for spec in specs.values():
+        pattern = spec.path_pattern.replace("landing/", "")
+        if fnmatch.fnmatch(os.path.basename(rel), os.path.basename(pattern)):
             return spec
     return None
 

@@ -280,3 +280,35 @@ def test_observed_lineage_mode(spark, tmp_path):
     # idempotent replay of the same epoch: no duplicate lineage row
     pipe.apply_batch(df, 0)
     assert pipe.lineage.refresh().read().count() == 1
+
+
+def test_check_cols_gate_reinsert_after_delete(spark, tmp_path):
+    """A version following a tombstone must ALWAYS open a history row,
+    even when its tracked attrs hash equals the tombstone's all-null
+    hash (review finding)."""
+    import datetime
+
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"), n_buckets=2, compact_every=0,
+        scd2_check_cols=["source"],   # nullable col: I rows may hash like D rows
+    )
+    batch = spark.createDataFrame(
+        [
+            ("k", 1, "I", [1], 1, None, None, 0, ts(1)),
+            ("k", 2, "D", None, None, None, None, 0, ts(2)),
+            ("k", 3, "I", [2], 1, None, None, 0, ts(3)),  # source null like the D
+        ],
+        CHANGE_EVENT_SCHEMA,
+    )
+    pipe.apply_batch(batch, 0)
+    hist = {(r.doc_id, r.lsn, r.op) for r in pipe.history_df().collect()}
+    assert hist == {("k", 1, "I"), ("k", 2, "D"), ("k", 3, "I")}
+    cur = [r.lsn for r in pipe.history_df().filter("is_current").collect()]
+    assert cur == [3]

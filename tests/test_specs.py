@@ -142,3 +142,23 @@ def test_spec_driven_read_quarantines_violations(spark, tmp_path, spec_dir):
     assert "side:allowed" in quarantined["T3"]
     assert any("not_null" in v for k, v in quarantined.items() if k is None)
     assert "quantity:cast" in quarantined["T5"]
+
+
+def test_glob_dispatch_directory_beats_basename(spec_dir, tmp_path):
+    """A spec whose FILENAME glob happens to match must not shadow
+    another spec's exact directory match (review finding)."""
+    import pathlib
+
+    d = pathlib.Path(spec_dir) / "trading"
+    ops = SPEC_YAML.replace("desk_trades", "ops_trades").replace(
+        "desk/trades_*.csv", "ops/trades_*.csv"
+    )
+    (d / "ops_trades.yaml").write_text(ops)
+    from data_pipeline_spark.sources.specs import load_spec_dir, match_spec
+
+    specs = load_spec_dir(spec_dir)
+    assert match_spec("ops/trades_20240301.csv", specs).name == "ops_trades"
+    assert match_spec("desk/trades_20240301.csv", specs).name == "desk_trades"
+    assert match_spec("landing/ops/trades_20240301.csv", specs).name == "ops_trades"
+    # basename fallback still works for bare filenames
+    assert match_spec("trades_20240301.csv", specs) is not None
