@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..table.laketable import BUCKET_COL, LakeTable
+from .schema import stamp_batch_id
 
 
 def merge_into(
@@ -46,6 +47,7 @@ def merge_into(
     batch_id: int | str,
     shuffle_partitions: int | None = None,
     observation=None,
+    affected: list[int] | None = None,
 ) -> dict:
     """Apply a change set to the table; returns metrics.
 
@@ -54,6 +56,12 @@ def merge_into(
     max_by collapses them map-side before the shuffle (partial
     aggregation is the hot-key salting), so a pre-reduced input
     (lww_reduce) is supported but not required.
+
+    affected: the precomputed set of touched storage buckets (the
+    caller's fused planning probe, CdcPipeline.apply_batch).  None →
+    one bucket-set probe job here.  Passing it wrong (a superset is
+    fine — extra buckets are rewritten unchanged; a SUBSET would drop
+    target rows) is on the caller.
     """
     key = table.key_col
     payload_cols = [
@@ -64,7 +72,10 @@ def merge_into(
     meta_cols = [f for f in table.schema.fields if f.name.startswith("_")]
 
     d = changes.withColumn(BUCKET_COL, table.bucket_of(key))
-    affected = list(d.agg(F.collect_set(BUCKET_COL).alias("bs")).first()["bs"])
+    if affected is None:
+        affected = list(d.agg(F.collect_set(BUCKET_COL).alias("bs")).first()["bs"])
+    else:
+        affected = [int(b) for b in affected]
     if not affected:
         table.record_batch(str(batch_id), {"rows": 0})
         return {"buckets": []}
@@ -72,9 +83,7 @@ def merge_into(
     t = table.read(buckets=affected).withColumn(BUCKET_COL, table.bucket_of(key))
 
     # align both sides on [key, _bucket, lsn, op, _prio, payload..., meta...]
-    batch_stamp = F.lit(
-        int(batch_id) if str(batch_id).lstrip("-").isdigit() else None
-    ).cast("long")
+    batch_stamp = F.lit(stamp_batch_id(batch_id)).cast("long")
     d_side = d.select(
         F.col(key),
         F.col(BUCKET_COL),

@@ -35,6 +35,7 @@ from .schema import (
     LINEAGE_SCHEMA,
     TARGET_SCHEMA_BASE,
     parse_ddl,
+    stamp_batch_id as _stamp,
 )
 
 VALID_OPS = ("I", "U", "D")
@@ -111,14 +112,35 @@ class CdcPipeline:
             .when(F.col("op").isin("I", "U") & F.col("tokens").isNull(), "null_payload")
         )
 
+        # -- 1.5 fused planning probe: ONE column-pruned job computes
+        # every driver-side planning input for the whole batch — the
+        # DDL set (schema evolution), the touched bucket set (merge +
+        # history pruning), the distinct-key count (history broadcast
+        # gate) and the dead-row count (dead-letter skip).  These were
+        # three separate batch scans in round 2; per-batch planning jobs
+        # are pure Amdahl constant (they don't shrink with executors),
+        # so they are fused into one.
+        valid = ~is_schema & failure.isNull()
+        probe = df.agg(
+            F.collect_set(F.when(is_schema, F.col("ddl"))).alias("ddls"),
+            F.collect_set(F.when(valid, self.target.bucket_of("doc_id"))).alias(
+                "bs"
+            ),
+            F.count_distinct(F.when(valid, F.col("doc_id"))).alias("nd"),
+            F.sum(
+                F.when(~is_schema & failure.isNotNull(), 1).otherwise(0)
+            ).alias("n_dead"),
+            F.sum(F.when(valid, 1).otherwise(0)).alias("n_valid"),
+            F.min(F.when(valid, F.col("lsn"))).alias("min_lsn"),
+            F.max(F.when(valid, F.col("lsn"))).alias("max_lsn"),
+        ).first()
+        ddls = sorted(d for d in probe["ddls"] if d)
+        affected = [int(b) for b in probe["bs"]]
+        n_docs = int(probe["nd"] or 0)
+        n_dead = int(probe["n_dead"] or 0)
+        n_valid = int(probe["n_valid"] or 0)
+
         # -- 2. additive schema evolution (metadata-only) ----------
-        ddls = [
-            r[0]
-            for r in df.filter(is_schema & F.col("ddl").isNotNull())
-            .select("ddl")
-            .distinct()
-            .collect()
-        ]
         for ddl in ddls:
             fields = list(parse_ddl(ddl))
             self.target.add_columns(fields)
@@ -128,6 +150,12 @@ class CdcPipeline:
         non_schema = df.filter(~is_schema)
         events = non_schema.filter(failure.isNull())
         dead = non_schema.filter(failure.isNotNull())
+        # the fused probe's bucket set is valid for the history table
+        # only when its bucket function matches the target's
+        history_probe_ok = self.history is not None and (
+            self.history.n_buckets == self.target.n_buckets
+            and self.history.key_col == self.target.key_col
+        )
 
         # NOTE: no separate arrival-dedup pass — at-least-once duplicate
         # deliveries collapse inside the merge's max_by reduce (payload-
@@ -159,7 +187,8 @@ class CdcPipeline:
 
                     obs = Observation(f"merge-{bkey}")
                 stats["merge"] = merge_into(
-                    self.target, events, batch_id, observation=obs
+                    self.target, events, batch_id, observation=obs,
+                    affected=affected,
                 )
                 if obs is not None and stats["merge"]["buckets"]:
                     # the merge action has completed → get() is immediate
@@ -170,13 +199,21 @@ class CdcPipeline:
                 stats["history"] = apply_history(
                     self.history, events, batch_id,
                     check_cols=self.scd2_check_cols,
+                    affected=affected if history_probe_ok else None,
+                    n_docs=n_docs if history_probe_ok else None,
                 )
 
         def _dead_letter():
             if self.dead_letter.has_batch(bkey):
                 return
+            if n_dead == 0:
+                # nothing to quarantine: record the epoch with a
+                # manifest-only commit — no Spark job (the common case
+                # on a healthy stream, and a per-batch constant saved)
+                self.dead_letter.record_batch(bkey, {"rows": 0})
+                return
             dl = dead.select(
-                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.lit(_stamp(batch_id)).cast("long").alias("batch_id"),
                 "doc_id",
                 "lsn",
                 "op",
@@ -184,32 +221,30 @@ class CdcPipeline:
                 failure.alias("failure_reason"),
                 F.current_timestamp().alias("quarantined_at"),
             )
-            obs = None
-            if observed:
-                from pyspark.sql import Observation
-
-                obs = Observation(f"dead-{bkey}")
-                dl = dl.observe(obs, F.count(F.lit(1)).alias("rows_dead"))
             self.dead_letter.append(dl, batch_key=bkey)
-            if obs is not None:
-                stats["observed_dead"] = obs.get
 
         def _lineage():
             if not self.collect_metrics or self.lineage_mode == "observed":
                 return
             if self.lineage.has_batch(bkey):
                 return
+            # min/max_lsn span VALID rows only — same definition in both
+            # lineage modes (observed mode can only see rows that reach
+            # the merge), so gap checks don't report phantom gaps when a
+            # deployment switches modes.  Valid-only is also the right
+            # semantic for continuity: a quarantined row was not applied,
+            # so its lsn must not extend the applied span.
             per_part = non_schema.groupBy("partition").agg(
                 F.count("*").alias("_all"),
                 F.sum(F.when(failure.isNotNull(), 1).otherwise(0)).alias(
                     "rows_dead_letter"
                 ),
                 F.count_distinct(F.col("doc_id"), F.col("lsn")).alias("_distinct"),
-                F.min("lsn").alias("min_lsn"),
-                F.max("lsn").alias("max_lsn"),
+                F.min(F.when(failure.isNull(), F.col("lsn"))).alias("min_lsn"),
+                F.max(F.when(failure.isNull(), F.col("lsn"))).alias("max_lsn"),
             )
             lin = per_part.select(
-                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.lit(_stamp(batch_id)).cast("long").alias("batch_id"),
                 F.col("partition"),
                 F.col("_all").cast("long").alias("rows_in"),
                 (F.col("_all") - F.col("_distinct")).cast("long").alias("rows_deduped"),
@@ -229,51 +264,36 @@ class CdcPipeline:
             for f in futures:
                 f.result()  # re-raise the first failure
 
-        # observed-mode lineage: one global row built from the metrics
-        # that rode the merge + dead-letter actions — a 1-row write, no
-        # aggregation job over the batch
+        # observed-mode lineage: one global row per batch, built from
+        # the fused probe (identical numbers ride the merge action via
+        # observe() — stats["observed_merge"] — but the probe is always
+        # available, including on crash-replay where the merge commit is
+        # manifest-skipped).  The write is a driver-side pyarrow
+        # micro-append: ZERO Spark jobs for lineage in this mode.
         if observed and not self.lineage.has_batch(bkey):
-            if "observed_merge" in stats and "observed_dead" in stats:
-                om, od = stats["observed_merge"], stats["observed_dead"]
-                n_dead = int(od.get("rows_dead") or 0)
-                vals = (
-                    int(om.get("rows_in") or 0) + n_dead,
-                    n_dead,
-                    om.get("min_lsn"),
-                    om.get("max_lsn"),
-                )
-            else:
-                # crash-replay path: merge/dead-letter already committed
-                # this epoch (manifest skip), so no observations rode an
-                # action this time — recompute the same numbers with one
-                # column-pruned aggregation job rather than writing a
-                # garbage zero row
-                agg = non_schema.agg(
-                    F.count(F.lit(1)).alias("rows_in"),
-                    F.sum(F.when(failure.isNotNull(), 1).otherwise(0)).alias(
-                        "rows_dead"
-                    ),
-                    F.min(F.when(failure.isNull(), F.col("lsn"))).alias("min_lsn"),
-                    F.max(F.when(failure.isNull(), F.col("lsn"))).alias("max_lsn"),
-                ).first()
-                vals = (
-                    int(agg["rows_in"] or 0),
-                    int(agg["rows_dead"] or 0),
-                    agg["min_lsn"],
-                    agg["max_lsn"],
-                )
-            rows_in, n_dead, min_lsn, max_lsn = vals
-            lin = self.spark.createDataFrame(
-                [(int(batch_id), -1, rows_in, None, n_dead, min_lsn, max_lsn)],
-                "batch_id long, partition int, rows_in long, rows_deduped long,"
-                " rows_dead_letter long, min_lsn long, max_lsn long",
-            ).withColumn("applied_at", F.current_timestamp())
+            rows_in = n_valid + n_dead
             if rows_in == 0:
                 # empty batch: record the epoch without a zero row
                 # (matches partition mode, whose groupBy emits no rows)
                 self.lineage.record_batch(bkey, {"rows": 0})
             else:
-                self.lineage.append(lin, batch_key=bkey)
+                from datetime import datetime, timezone
+
+                self.lineage.append_rows(
+                    [
+                        {
+                            "batch_id": _stamp(batch_id),
+                            "partition": -1,
+                            "rows_in": rows_in,
+                            "rows_deduped": None,
+                            "rows_dead_letter": n_dead,
+                            "min_lsn": probe["min_lsn"],
+                            "max_lsn": probe["max_lsn"],
+                            "applied_at": datetime.now(timezone.utc),
+                        }
+                    ],
+                    batch_key=bkey,
+                )
 
         # -- 7. maintenance ----------------------------------------
         self._batches_applied += 1

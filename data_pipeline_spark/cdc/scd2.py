@@ -214,8 +214,16 @@ def apply_history(
     closure_groups: int = 64,
     shuffle_partitions: int | None = None,
     check_cols: list[str] | None = None,
+    affected: list[int] | None = None,
+    n_docs: int | None = None,
 ) -> dict:
     """Append this batch's versions and re-close affected keys.
+
+    affected/n_docs: precomputed planning inputs (touched buckets +
+    distinct-key count) from the caller's fused probe — when given, no
+    probe job runs here.  Only valid when the caller's bucket function
+    matches this table's (same key_col + n_buckets); CdcPipeline checks
+    that before passing them.
 
     `new_versions` is the RAW validated event stream — it may contain
     at-least-once duplicate deliveries of a (doc_id, lsn) and replays of
@@ -245,12 +253,15 @@ def apply_history(
         *payload_cols,
         F.col("ingest_ts").alias("valid_from_utc"),
     ).withColumn(BUCKET_COL, history.bucket_of(key))
-    # one driver job for both planning inputs: touched buckets + key count
-    probe = nv.agg(
-        F.collect_set(BUCKET_COL).alias("bs"),
-        F.count_distinct(F.col(key)).alias("nd"),
-    ).first()
-    affected, n_docs = list(probe["bs"]), int(probe["nd"])
+    if affected is None or n_docs is None:
+        # one driver job for both planning inputs: buckets + key count
+        probe = nv.agg(
+            F.collect_set(BUCKET_COL).alias("bs"),
+            F.count_distinct(F.col(key)).alias("nd"),
+        ).first()
+        affected, n_docs = list(probe["bs"]), int(probe["nd"])
+    else:
+        affected, n_docs = [int(b) for b in affected], int(n_docs)
     if not affected:
         history.record_batch(str(batch_id), {"versions": 0})
         return {"buckets": []}

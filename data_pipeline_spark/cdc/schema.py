@@ -117,3 +117,17 @@ def parse_ddl(ddl: str) -> StructType:
         name, _, typ = part.strip().partition(":")
         fields.append(StructField(name.strip(), _parse_datatype_string(typ.strip())))
     return StructType(fields)
+
+
+def stamp_batch_id(batch_id) -> int:
+    """Row-level _batch_id / lineage stamp for an epoch key: numeric
+    epochs pass through; a non-numeric string epoch (manifest keys
+    accept them) stamps a deterministic signed-64 md5 digest instead of
+    NULL, so row-level lineage survives string-epoch deployments (the
+    commit manifest still stores the original key)."""
+    s = str(batch_id)
+    if s.lstrip("-").isdigit():
+        return int(s)
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=True)

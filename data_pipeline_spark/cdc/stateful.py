@@ -65,10 +65,10 @@ def _update(
         # tolerate malformed rows (the raw stream contains them by
         # contract — the pipeline quarantines null-lsn rows, a monitor
         # must not die on them): count them, ignore them for ordering
+        n_events += int(len(pdf))
         pdf = pdf[pdf["lsn"].notna()]
         if len(pdf) == 0:
             continue
-        n_events += int(len(pdf))
         batch_max = int(pdf["lsn"].max())
         if batch_max > lsn:
             lsn = batch_max

@@ -281,6 +281,12 @@ def dedup_components(
         )
         .distinct()
     )
+    # materialize the edge list ONCE: every propagation round (plus the
+    # convergence count) joins against it, and its upstream lineage is
+    # typically the expensive LSH/Jaccard self-join — without the cache
+    # K rounds re-run that stage K times
+    edges.cache()
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -319,11 +325,13 @@ def dedup_components(
         # exit would split one real component into several (and diverge
         # from the fully-converged SQL oracle) with no indication
         labels.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             f"dedup_components did not converge in {max_iter} rounds — "
             "component diameter exceeds max_iter (chain-shaped graph); "
             "raise max_iter or switch to the large-star/small-star variant"
         )
+    edges.unpersist()
     # NOTE: the returned frame is left cached (the propagation lineage is
     # a deep join chain — recomputing it on unpersist would be worse);
     # callers streaming it into a write can .unpersist() afterwards.

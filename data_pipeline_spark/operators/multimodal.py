@@ -79,17 +79,31 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Arrow batch height is capped via maxRecordsPerBatch so a partition
-    of large blobs cannot blow worker memory.  NOTE: that conf is
+    Arrow batch height must be capped (maxRecordsPerBatch) so a
+    partition of large blobs cannot blow worker memory.  That conf is
     session-wide (Spark has no per-operation Arrow batch size) and must
-    hold at EXECUTION time, so this builder sets it eagerly and leaves
-    it set — callers who need a different global value pass
-    rows_per_batch=None and manage the conf themselves."""
+    hold at EXECUTION time — so it belongs to session construction
+    (``build_session(arrow_max_records=...)``), NOT here: a transform
+    builder silently re-configuring the session would surprise
+    concurrent callers.  This builder only CHECKS: if the session's cap
+    exceeds ``rows_per_batch`` it warns with the fix; pass
+    rows_per_batch=None to skip the check."""
     spark = media.sparkSession
     if rows_per_batch is not None:
-        spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)
+        current = int(
+            spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         )
+        if current > rows_per_batch:
+            import warnings
+
+            warnings.warn(
+                f"Arrow maxRecordsPerBatch={current} exceeds the recommended "
+                f"cap for binary media payloads ({rows_per_batch}); a batch "
+                "of large blobs can exhaust python-worker memory.  Set "
+                f"build_session(arrow_max_records={rows_per_batch}) for "
+                "media-heavy sessions.",
+                stacklevel=2,
+            )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

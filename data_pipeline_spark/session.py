@@ -17,7 +17,10 @@ def _parse_mem_bytes(s: str) -> int:
     """Parse a Spark byteString ('8g', '8gb', '512m', '512mb', plain
     bytes).  Falls back to 8 GiB on anything unparseable — this feeds a
     heuristic threshold, not a correctness path, and Spark itself will
-    reject a truly bad spark.driver.memory later with a clear error."""
+    reject a truly bad spark.driver.memory later with a clear error —
+    but warns so a mis-sized agg valve does not go unnoticed."""
+    import warnings
+
     s = s.strip().lower()
     if s.endswith("b") and len(s) > 1 and s[-2] in "kmgt":
         s = s[:-1]
@@ -27,6 +30,11 @@ def _parse_mem_bytes(s: str) -> int:
     try:
         return int(float(digits)) * mult
     except ValueError:
+        warnings.warn(
+            f"unparseable memory string {s!r} (SPARK_GRAFT_DRIVER_MEM?); "
+            "assuming 8g for the aggregation-valve sizing",
+            stacklevel=2,
+        )
         return 8 << 30
 
 
@@ -66,6 +74,7 @@ def build_session(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    arrow_max_records: int | None = None,
 ) -> SparkSession:
     """Create (or reuse) a SparkSession configured for the engine.
 
@@ -73,6 +82,11 @@ def build_session(
     shuffle_partitions: defaults to cpus so one reduce wave saturates
     the cores without tiny-task overhead at sandbox scale; on a real
     cluster this is sized to keep post-shuffle partitions ~128-256 MB.
+    arrow_max_records: spark.sql.execution.arrow.maxRecordsPerBatch —
+    the Arrow batch-height cap for pandas-UDF transport.  Set it HERE
+    (session-wide by Spark's design) when the workload carries large
+    binary payloads (multimodal.extract_features documents the sizing);
+    transform builders never mutate it behind the session's back.
     """
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -126,6 +140,10 @@ def build_session(
         .config("spark.driver.memory", heap)
         .config("spark.ui.enabled", "false")
     )
+    if arrow_max_records is not None:
+        builder = builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

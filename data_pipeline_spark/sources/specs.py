@@ -309,15 +309,18 @@ def match_spec(path: str, specs: dict[str, SourceSpec]) -> SourceSpec | None:
     spec whose FILENAME pattern happens to match shadow another spec's
     exact directory match (e.g. desk/trades_*.csv vs ops/trades_*.csv
     both ending in trades_*.csv)."""
-    rel = path.lstrip("/")
-    if rel.startswith("landing/"):
-        rel = rel[len("landing/"):]
+    def _strip_landing(p: str) -> str:
+        # strip only a LEADING landing/ prefix: a substring replace
+        # would mangle patterns like 'prod-landing/trades_*.csv' into
+        # 'prod-trades_*.csv', which then matches nothing
+        return p[len("landing/"):] if p.startswith("landing/") else p
+
+    rel = _strip_landing(path.lstrip("/"))
     for spec in specs.values():
-        pattern = spec.path_pattern.replace("landing/", "")
-        if fnmatch.fnmatch(rel, pattern):
+        if fnmatch.fnmatch(rel, _strip_landing(spec.path_pattern)):
             return spec
     for spec in specs.values():
-        pattern = spec.path_pattern.replace("landing/", "")
+        pattern = _strip_landing(spec.path_pattern)
         if fnmatch.fnmatch(os.path.basename(rel), os.path.basename(pattern)):
             return spec
     return None

@@ -94,10 +94,24 @@ def parse_xml_rows(
     """iterparse one document; yields {field: str|None} per row element
     (matched by LOCAL name, like the reference's namespace-lenient
     mode).  fields = (name, element_path, leaf)."""
-    for _event, elem in ElementTree.iterparse(io.BytesIO(content)):
+    # bounded memory: elem.clear() alone leaves O(rows) element shells
+    # (and non-row headers) attached to the growing tree root, so track
+    # the root from the first start event and clear its children after
+    # each processed row — the standard iterparse streaming pattern.
+    # Safe here because extraction only navigates WITHIN the completed
+    # row element, never back up the tree.
+    it = ElementTree.iterparse(io.BytesIO(content), events=("start", "end"))
+    root = None
+    for event, elem in it:
+        if event == "start":
+            if root is None:
+                root = elem
+            continue
         if _local(elem.tag) == row_element:
             yield {n: _extract(elem, p, leaf) for n, p, leaf in fields}
             elem.clear()
+            if root is not None and root is not elem:
+                root.clear()
 
 
 def read_xml_validated(

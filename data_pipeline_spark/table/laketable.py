@@ -43,7 +43,7 @@ import json
 import os
 import shutil
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any, Iterable
 
@@ -77,7 +77,7 @@ class Snapshot:
     # epochs <= watermarks[prefix] are applied (and their explicit
     # entries may have been compacted away).  Keeps snapshot metadata
     # O(1) in table history instead of one entry per commit forever.
-    watermarks: dict[str, int] = None  # type: ignore[assignment]
+    watermarks: dict[str, int] = field(default_factory=dict)
 
 
 # explicit applied-batch entries retained per prefix beyond the
@@ -373,6 +373,45 @@ class LakeTable:
             merged.setdefault(b, []).extend(fs)
         self._commit(merged, batch_key, batch_info)
 
+    def append_rows(
+        self,
+        rows: list[dict[str, Any]],
+        batch_key: str | None = None,
+        batch_info: dict[str, Any] | None = None,
+    ) -> None:
+        """Driver-side micro-append for metadata-lane tables (lineage,
+        control epochs): writes ONE parquet file via pyarrow directly —
+        zero Spark jobs — then commits it like any append.  Restricted
+        to single-bucket tables so no JVM hash is needed for placement
+        (pmod(x, 1) == 0 for every key).
+
+        This is the per-batch Amdahl cut: a 1-row lineage append as a
+        Spark job costs a full plan/schedule/commit round-trip per
+        epoch — constant driver time that does NOT shrink with more
+        executors (real Iceberg writers commit small metadata the same
+        driver-side way)."""
+        if self.n_buckets != 1:
+            raise ValueError("append_rows requires a single-bucket table")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_fields = []
+        for f in self.schema.fields:
+            arrow_fields.append(pa.field(f.name, _arrow_type(f.dataType)))
+        cols = {
+            f.name: [r.get(f.name) for r in rows] for f in self.schema.fields
+        }
+        tbl = pa.Table.from_pydict(cols, schema=pa.schema(arrow_fields))
+        bdir = os.path.join(self._data_dir, "bucket=0")
+        os.makedirs(bdir, exist_ok=True)
+        fname = f"{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(bdir, f".tmp-{fname}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(bdir, fname))
+        merged = {b: list(fs) for b, fs in self.snapshot.files.items()}
+        merged.setdefault(0, []).append(os.path.join("data", "bucket=0", fname))
+        self._commit(merged, batch_key, batch_info)
+
     def record_batch(
         self, batch_key: str, batch_info: dict[str, Any] | None = None
     ) -> None:
@@ -468,6 +507,31 @@ def _compact_applied_batches(
         for n, k in items:
             if n <= cutoff:
                 del applied[k]
+
+
+def _arrow_type(dt):
+    """Spark type → pyarrow type for the metadata-lane schemas
+    (append_rows).  Timestamps are µs-UTC (isAdjustedToUTC=true) so
+    Spark's parquet reader surfaces TimestampType, matching what a
+    Spark-side write of the same schema produces."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    mapping = {
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.StringType: pa.string(),
+        T.BooleanType: pa.bool_(),
+        T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
+        T.TimestampType: pa.timestamp("us", tz="UTC"),
+        T.DateType: pa.date32(),
+    }
+    for k, v in mapping.items():
+        if isinstance(dt, k):
+            return v
+    raise TypeError(f"append_rows has no arrow mapping for {dt}")
 
 
 def _utcnow_iso() -> str:

@@ -17,6 +17,7 @@ def spark():
         cpus=4,
         shuffle_partitions=4,
         extra_conf={"spark.sql.files.maxPartitionBytes": "16777216"},
+        arrow_max_records=256,  # media-safe Arrow batch height (multimodal.py)
     )
     yield s
     s.stop()

@@ -312,3 +312,29 @@ def test_check_cols_gate_reinsert_after_delete(spark, tmp_path):
     assert hist == {("k", 1, "I"), ("k", 2, "D"), ("k", 3, "I")}
     cur = [r.lsn for r in pipe.history_df().filter("is_current").collect()]
     assert cur == [3]
+
+
+def test_string_batch_id_stamps_deterministic_hash(spark, tmp_path):
+    """A non-numeric batch key must stamp a deterministic non-null
+    _batch_id digest (review finding: NULL lost row-level lineage for
+    string-epoch deployments); the manifest keeps the original key."""
+    from data_pipeline_spark.cdc.merge import merge_into
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA, TARGET_SCHEMA_BASE
+    from data_pipeline_spark.table.laketable import LakeTable
+
+    rows = [("d1", 1, "I", [1, 2], 2, None, None, 0, None)]
+    changes = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA_BASE, key_col="doc_id", n_buckets=2
+    )
+    merge_into(t, changes, "epoch-2026-08-17T00")
+    (row,) = t.read().collect()
+    assert row._batch_id is not None
+    assert t.has_batch("epoch-2026-08-17T00")
+    # deterministic: a second table stamps the identical digest
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"), TARGET_SCHEMA_BASE, key_col="doc_id", n_buckets=2
+    )
+    merge_into(t2, changes, "epoch-2026-08-17T00")
+    (row2,) = t2.read().collect()
+    assert row2._batch_id == row._batch_id

@@ -171,3 +171,49 @@ def test_applied_batches_metadata_stays_bounded(spark, tmp_path):
     # reload from disk sees the same compacted state
     t2 = LakeTable.load(spark, str(tmp_path / "t"))
     assert t2.has_batch("5") and t2.has_batch("control-7")
+
+
+def test_append_rows_driver_side_micro_append(spark, tmp_path):
+    """append_rows writes via pyarrow (no Spark job) yet must be
+    indistinguishable from a Spark append on read: schema, timestamp
+    semantics (µs UTC), nulls, manifest exactly-once."""
+    from datetime import datetime, timezone
+
+    from data_pipeline_spark.cdc.schema import LINEAGE_SCHEMA
+    from data_pipeline_spark.table.laketable import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lin"), LINEAGE_SCHEMA, key_col="batch_id", n_buckets=1
+    )
+    ts = datetime(2026, 8, 17, 12, 0, 0, tzinfo=timezone.utc)
+    t.append_rows(
+        [
+            {
+                "batch_id": 7,
+                "partition": -1,
+                "rows_in": 10,
+                "rows_deduped": None,
+                "rows_dead_letter": 0,
+                "min_lsn": 1,
+                "max_lsn": 9,
+                "applied_at": ts,
+            }
+        ],
+        batch_key="7",
+    )
+    assert t.has_batch("7")
+    (row,) = t.read().collect()
+    assert (row.batch_id, row.rows_in, row.rows_deduped) == (7, 10, None)
+    assert row.applied_at == ts.replace(tzinfo=None)  # UTC session, naive repr
+    assert [f.name for f in t.read().schema.fields] == [
+        f.name for f in LINEAGE_SCHEMA.fields
+    ]
+    # a Spark-side append next to it reads back uniformly
+    t.append(t.read().withColumn("batch_id", row.batch_id + F.lit(1)), batch_key="8")
+    assert t.refresh().read().count() == 2
+
+    multi = LakeTable.create(
+        spark, str(tmp_path / "multi"), LINEAGE_SCHEMA, key_col="batch_id", n_buckets=4
+    )
+    with pytest.raises(ValueError, match="single-bucket"):
+        multi.append_rows([{"batch_id": 1}])

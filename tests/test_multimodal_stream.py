@@ -96,3 +96,23 @@ def test_stream_crash_resume_matches_oracle(spark, tmp_path):
     # every streamed batch is manifest-recorded exactly once
     applied = pipe2.target.snapshot.applied_batches
     assert len(applied) == 3  # 6 files / 2 per trigger
+
+
+def test_extract_features_warns_instead_of_mutating_conf(spark, media_df):
+    """extract_features must never re-configure the session behind the
+    caller's back (review finding): an over-cap session conf draws a
+    warning pointing at build_session, and the conf stays unchanged."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    with pytest.warns(UserWarning, match="build_session"):
+        extract_features(media_df, rows_per_batch=16)
+    assert spark.conf.get(key) == before
+
+
+def test_parse_mem_bytes_warns_on_garbage():
+    from data_pipeline_spark.session import _parse_mem_bytes
+
+    with pytest.warns(UserWarning, match="unparseable"):
+        assert _parse_mem_bytes("not-a-size") == 8 << 30
+    assert _parse_mem_bytes("2g") == 2 << 30
+    assert _parse_mem_bytes("512mb") == 512 << 20

@@ -162,3 +162,20 @@ def test_glob_dispatch_directory_beats_basename(spec_dir, tmp_path):
     assert match_spec("landing/ops/trades_20240301.csv", specs).name == "ops_trades"
     # basename fallback still works for bare filenames
     assert match_spec("trades_20240301.csv", specs) is not None
+
+
+def test_glob_dispatch_strips_only_leading_landing(spec_dir):
+    """'landing/' must be stripped only as a path PREFIX: a pattern like
+    'prod-landing/trades_*.csv' must keep matching its own files
+    (review finding: substring replace mangled it to 'prod-trades_*')."""
+    import pathlib
+
+    d = pathlib.Path(spec_dir) / "trading"
+    prod = SPEC_YAML.replace("desk_trades", "prod_trades").replace(
+        "desk/trades_*.csv", "prod-landing/trades_*.csv"
+    )
+    (d / "prod_trades.yaml").write_text(prod)
+    specs = load_spec_dir(spec_dir)
+    assert match_spec("prod-landing/trades_1.csv", specs).name == "prod_trades"
+    # the leading-prefix strip still works
+    assert match_spec("landing/prod-landing/trades_1.csv", specs).name == "prod_trades"

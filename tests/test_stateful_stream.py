@@ -89,3 +89,26 @@ def test_running_state_across_batches(spark, log_dir, tmp_path):
     n_updates = spark.table("running_state").count()
     n_docs = len(exp_map)
     assert n_updates > n_docs  # docs appeared in >1 micro-batch
+
+
+def test_update_counts_malformed_rows_in_n_events():
+    """RUNNING_STATE_SCHEMA documents n_events as 'events seen (incl.
+    dups)' — malformed null-lsn rows are seen, so they count, while
+    staying excluded from lsn/tombstone ordering (review finding)."""
+    import pandas as pd
+
+    from data_pipeline_spark.cdc.stateful import _update
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    state = _FakeState()
+    pdf = pd.DataFrame(
+        {"doc_id": ["d1"] * 3, "lsn": [5.0, None, 7.0], "op": ["U", "X", "D"]}
+    )
+    out = list(_update(("d1",), iter([pdf]), state))
+    assert state.value == (7, 3, True)  # 3 rows seen, max lsn 7, delete
+    assert out[0]["n_events"].iloc[0] == 3
