@@ -216,6 +216,7 @@ def apply_history(
     check_cols: list[str] | None = None,
     affected: list[int] | None = None,
     n_docs: int | None = None,
+    plan_out: dict | None = None,
 ) -> dict:
     """Append this batch's versions and re-close affected keys.
 
@@ -361,6 +362,12 @@ def apply_history(
         ],
         F.col(BUCKET_COL),
     )
+
+    if plan_out is not None:
+        # plan-audit hook (tests/test_plans.py): expose the pre-write
+        # frame so the zero-extra-exchange / no-wide-re-sort claim above
+        # is pinned against the actual executed plan, not the docstring
+        plan_out["closed"] = closed
 
     history.replace_buckets(
         closed,

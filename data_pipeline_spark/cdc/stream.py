@@ -58,6 +58,39 @@ def kafka_reader_options(
     return opts
 
 
+#: Kafka's record shape as Spark surfaces it — what a
+#: ``readStream.format("kafka")`` frame contains, and the shape
+#: ``encode_kafka_value`` produces for a Kafka SINK (writeStream needs
+#: binary key/value).  Also lets the sandbox drive ``decode_kafka_value``
+#: inside a REAL streaming query over a file stream of wire-shaped
+#: records (tests/test_kafka_source.py) despite having no broker.
+KAFKA_RECORD_SCHEMA = "key binary, value binary, topic string, partition int, offset long, timestamp timestamp, timestampType int"
+
+
+def encode_kafka_value(events: DataFrame, topic: str = "cdc.docs") -> DataFrame:
+    """CHANGE_EVENT_SCHEMA → Kafka wire shape (the producer/bridge side
+    of the contract; reference bridge.py:246-253 publishes
+    ``json.dumps(value)``).  key = doc_id bytes (keeps a doc's events in
+    one Kafka partition → per-key ordering); value = JSON payload;
+    offset/timestamp mirror lsn/ingest_ts the way the reference stamps
+    them.  ``decode_kafka_value(encode_kafka_value(df))`` is identity on
+    every CHANGE_EVENT_SCHEMA frame (round-trip pinned by test)."""
+    return events.select(
+        F.col("doc_id").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(
+                "doc_id", "lsn", "op", "tokens", "n_tok",
+                "source", "ddl", "partition", "ingest_ts",
+            )
+        ).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("lsn").cast("long").alias("offset"),
+        F.col("ingest_ts").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
 def decode_kafka_value(raw: DataFrame) -> DataFrame:
     """Kafka record frame (binary key/value, topic, partition, offset,
     timestamp) → CHANGE_EVENT_SCHEMA.

@@ -134,6 +134,14 @@ def build_session(
             str(_agg_fallback_threshold(heap, ncores)),
         )
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # co-partitioned joins on a PREFIX of the join keys: the SCD2
+        # join-back joins on [bucket, key, lsn] with both sides already
+        # hash-partitioned by bucket alone.  Spark 3.3+ defaults this to
+        # true, which silently re-shuffles BOTH sides full-width (and
+        # re-sorts the wide side) — the exact anti-pattern the engine's
+        # single-exchange story forbids.  Subset co-partitioning is safe
+        # here: bucket counts are sized so per-bucket skew is bounded.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # file-source partition sizing: at 100 TB this is the knob that
         # keeps scan tasks ~128 MB; harmless at sandbox scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -32,9 +32,18 @@ implements the subset of Iceberg semantics the CDC pipeline needs
   count exceeds a threshold (north_rule: compaction triggered by
   small-file thresholds), equivalent to Iceberg rewrite_data_files.
 
-Single-writer discipline is assumed (the streaming query's foreachBatch
-is serial); a multi-writer deployment would add optimistic-concurrency
-CAS on the CURRENT pointer exactly as Iceberg catalogs do.
+* **Optimistic-concurrency commits (multi-writer safe)** — a commit
+  publishes ``v{N+1}.json`` with an exclusive-create hard link: if
+  another writer already took that version number the link fails
+  atomically, the commit RELOADS the latest snapshot, re-applies its
+  intent (a rebase closure), and retries — exactly Iceberg's
+  catalog-CAS loop.  Rebase is automatic for manifest-only commits,
+  appends, and disjoint bucket replacements; a replacement whose
+  buckets were concurrently rewritten raises :class:`CommitConflict`
+  (the caller must recompute from fresh data, as with Iceberg's
+  validation failures).  ``CURRENT`` is an advance-only read hint;
+  ``current_version()`` walks forward past a stale pointer, so a
+  crashed writer can never roll visibility back.
 """
 
 from __future__ import annotations
@@ -52,6 +61,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 BUCKET_COL = "_bucket"
+
+# CAS retry bound: every retry means another writer actually committed
+# (system-wide progress), so this only trips on pathological contention.
+MAX_COMMIT_RETRIES = 50
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit invalidated this one in a way that cannot be
+    rebased automatically (e.g. the buckets this writer is replacing
+    were rewritten underneath it).  The caller must recompute from the
+    fresh table state — same contract as an Iceberg validation failure."""
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -145,8 +165,15 @@ class LakeTable:
     # metadata plumbing
     # ------------------------------------------------------------------
     def current_version(self) -> int:
+        """Latest committed version.  CURRENT is an advance-only HINT:
+        two racing writers can publish v5 and v6 but swing the pointer
+        in the other order, so walk forward from the hint to the real
+        head (normally zero extra stats)."""
         with open(os.path.join(self._meta_dir, "CURRENT")) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        while os.path.exists(os.path.join(self._meta_dir, f"v{v + 1}.json")):
+            v += 1
+        return v
 
     def _load_snapshot(self, version: int) -> Snapshot:
         with open(os.path.join(self._meta_dir, f"v{version}.json")) as f:
@@ -164,18 +191,49 @@ class LakeTable:
         )
 
     def _publish(self, meta: dict[str, Any]) -> None:
-        """Write v{N}.json then atomically swing the CURRENT pointer."""
+        """Unconditional publish — table creation only (v0)."""
         v = meta["version"]
         mpath = os.path.join(self._meta_dir, f"v{v}.json")
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, mpath)
+        self._advance_current(v)
+
+    def _publish_cas(self, meta: dict[str, Any]) -> bool:
+        """Compare-and-swap publish: claim v{N}.json by hard link, which
+        atomically fails if another writer already committed version N.
+        Returns False on conflict (caller reloads + rebases + retries).
+        The LINK is the commit point; CURRENT is advanced after."""
+        v = meta["version"]
+        mpath = os.path.join(self._meta_dir, f"v{v}.json")
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+        self._advance_current(v)
+        return True
+
+    def _advance_current(self, v: int) -> None:
+        """Advance-only pointer update (a racing older writer must not
+        roll a newer commit out of the fast path; current_version walks
+        forward anyway, so a lost advance costs only extra stats)."""
         cur = os.path.join(self._meta_dir, "CURRENT")
+        try:
+            with open(cur) as f:
+                if int(f.read().strip()) >= v:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
         tmp = cur + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(v))
-        os.replace(tmp, cur)  # atomic on POSIX: commit point
+        os.replace(tmp, cur)
 
     def refresh(self) -> "LakeTable":
         self._snapshot = self._load_snapshot(self.current_version())
@@ -212,15 +270,7 @@ class LakeTable:
         at-or-below its prefix's compaction watermark (watermarks only
         ever advance over contiguously-applied epochs, so a covered key
         was definitely committed)."""
-        k = str(batch_key)
-        if k in self.snapshot.applied_batches:
-            return True
-        m = _BATCH_KEY_RE.fullmatch(k)
-        if m:
-            return int(m.group(2)) <= (self.snapshot.watermarks or {}).get(
-                m.group(1), -1
-            )
-        return False
+        return _batch_applied(self.snapshot, str(batch_key))
 
     def file_stats(self) -> dict[int, int]:
         """bucket -> file count (drives the compaction trigger)."""
@@ -310,31 +360,71 @@ class LakeTable:
 
     def _commit(
         self,
-        files: dict[int, list[str]],
+        apply_fn,
         batch_key: str | None,
         batch_info: dict[str, Any] | None,
-        schema: StructType | None = None,
-    ) -> None:
-        snap = self.snapshot
-        meta = {
-            "version": snap.version + 1,
-            "schema": (schema or snap.schema).json(),
-            "n_buckets": snap.n_buckets,
-            "key_col": snap.key_col,
-            "files": {str(b): fs for b, fs in files.items() if fs},
-            "applied_batches": dict(snap.applied_batches),
-            "parent": snap.version,
-            "committed_at": _utcnow_iso(),
-            "watermarks": dict(snap.watermarks or {}),
-        }
-        if batch_key is not None:
-            meta["applied_batches"][str(batch_key)] = {
-                "committed_at": meta["committed_at"],
-                **(batch_info or {}),
+    ) -> bool:
+        """Optimistic-concurrency commit loop.
+
+        apply_fn(snap) is the REBASE CLOSURE: called against the
+        freshest snapshot on every attempt, it returns
+        ``(files, schema_or_None)`` for the next snapshot — or raises
+        CommitConflict when the concurrent history cannot be rebased
+        over (replace_buckets with a rewritten bucket).  Each retry
+        implies another writer committed, so the loop makes system-wide
+        progress; MAX_COMMIT_RETRIES only trips on pathological
+        contention.
+
+        Returns True if this writer committed; False if `batch_key`
+        turned out to be already applied by a concurrent writer (the
+        exactly-once guard holds across writers, not just restarts).
+
+        Every snapshot stores ``removed_files`` — the parent files no
+        longer referenced — so expire_snapshots is O(delta commits),
+        not O(files on disk)."""
+        for _ in range(MAX_COMMIT_RETRIES):
+            snap = self._load_snapshot(self.current_version())
+            self._snapshot = snap
+            if batch_key is not None and _batch_applied(snap, str(batch_key)):
+                return False
+            files, schema = apply_fn(snap)
+            parent_set = {f for fs in snap.files.values() for f in fs}
+            new_set = {f for fs in files.values() for f in fs}
+            meta = {
+                "version": snap.version + 1,
+                "schema": (schema or snap.schema).json(),
+                "n_buckets": snap.n_buckets,
+                "key_col": snap.key_col,
+                "files": {str(b): fs for b, fs in files.items() if fs},
+                "applied_batches": dict(snap.applied_batches),
+                "parent": snap.version,
+                "committed_at": _utcnow_iso(),
+                "watermarks": dict(snap.watermarks or {}),
+                "removed_files": sorted(parent_set - new_set),
             }
-        _compact_applied_batches(meta["applied_batches"], meta["watermarks"])
-        self._publish(meta)
-        self._snapshot = self._load_snapshot(meta["version"])
+            if batch_key is not None:
+                meta["applied_batches"][str(batch_key)] = {
+                    "committed_at": meta["committed_at"],
+                    **(batch_info or {}),
+                }
+            _compact_applied_batches(meta["applied_batches"], meta["watermarks"])
+            if self._publish_cas(meta):
+                self._snapshot = self._load_snapshot(meta["version"])
+                return True
+        raise CommitConflict(
+            f"commit on {self.path} lost the CAS race {MAX_COMMIT_RETRIES} "
+            "times — pathological writer contention"
+        )
+
+    def _drop_orphans(self, new_files: dict[int, list[str]]) -> None:
+        """Remove just-written data files whose commit did not happen
+        (conflict or duplicate-batch skip) — they were never visible."""
+        for fs in new_files.values():
+            for rel in fs:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except OSError:
+                    pass
 
     def replace_buckets(
         self,
@@ -346,19 +436,43 @@ class LakeTable:
     ) -> None:
         """Copy-on-write commit: new content for `buckets`, all other
         buckets' files carried forward untouched.  Data for the replaced
-        buckets MUST all be present in df (caller merges old+new)."""
+        buckets MUST all be present in df (caller merges old+new).
+
+        Multi-writer: rebases cleanly over concurrent commits that did
+        not touch the replaced buckets (manifest-only commits, appends,
+        disjoint replacements); raises CommitConflict if a replaced
+        bucket's file list changed since this writer planned (its df was
+        computed from stale bucket contents)."""
         replaced = set(int(b) for b in buckets)
+        base = self.snapshot
         new_files = self._write_data_files(df, prepartitioned=prepartitioned)
-        merged = {
-            b: fs for b, fs in self.snapshot.files.items() if b not in replaced
-        }
-        for b, fs in new_files.items():
+        for b in new_files:
             if b not in replaced:
+                self._drop_orphans(new_files)
                 raise ValueError(
                     f"write produced rows for bucket {b} outside replace set {replaced}"
                 )
-            merged[b] = fs
-        self._commit(merged, batch_key, batch_info)
+
+        def apply(snap: Snapshot):
+            for b in replaced:
+                if snap.files.get(b, []) != base.files.get(b, []):
+                    raise CommitConflict(
+                        f"bucket {b} of {self.path} was rewritten concurrently "
+                        f"(planned at v{base.version}, head moved); recompute "
+                        "from the fresh snapshot and retry the operation"
+                    )
+            merged = {b: fs for b, fs in snap.files.items() if b not in replaced}
+            for b, fs in new_files.items():
+                merged[b] = fs
+            return merged, None
+
+        try:
+            committed = self._commit(apply, batch_key, batch_info)
+        except Exception:
+            self._drop_orphans(new_files)
+            raise
+        if not committed:
+            self._drop_orphans(new_files)
 
     def append(
         self,
@@ -366,12 +480,19 @@ class LakeTable:
         batch_key: str | None = None,
         batch_info: dict[str, Any] | None = None,
     ) -> None:
-        """Append-only commit (used by history/lineage tables)."""
+        """Append-only commit (used by history/lineage tables).
+        Multi-writer: always rebaseable — new files merge into whatever
+        the head snapshot holds."""
         new_files = self._write_data_files(df)
-        merged = {b: list(fs) for b, fs in self.snapshot.files.items()}
-        for b, fs in new_files.items():
-            merged.setdefault(b, []).extend(fs)
-        self._commit(merged, batch_key, batch_info)
+
+        def apply(snap: Snapshot):
+            merged = {b: list(fs) for b, fs in snap.files.items()}
+            for b, fs in new_files.items():
+                merged.setdefault(b, []).extend(fs)
+            return merged, None
+
+        if not self._commit(apply, batch_key, batch_info):
+            self._drop_orphans(new_files)
 
     def append_rows(
         self,
@@ -408,16 +529,22 @@ class LakeTable:
         tmp = os.path.join(bdir, f".tmp-{fname}")
         pq.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(bdir, fname))
-        merged = {b: list(fs) for b, fs in self.snapshot.files.items()}
-        merged.setdefault(0, []).append(os.path.join("data", "bucket=0", fname))
-        self._commit(merged, batch_key, batch_info)
+        rel = os.path.join("data", "bucket=0", fname)
+
+        def apply(snap: Snapshot):
+            merged = {b: list(fs) for b, fs in snap.files.items()}
+            merged.setdefault(0, []).append(rel)
+            return merged, None
+
+        if not self._commit(apply, batch_key, batch_info):
+            self._drop_orphans({0: [rel]})
 
     def record_batch(
         self, batch_key: str, batch_info: dict[str, Any] | None = None
     ) -> None:
         """Commit a manifest-only snapshot (e.g. an empty batch is still
         recorded so a restart skips it)."""
-        self._commit(dict(self.snapshot.files), batch_key, batch_info)
+        self._commit(lambda snap: (dict(snap.files), None), batch_key, batch_info)
 
     # ------------------------------------------------------------------
     # schema evolution (metadata-only, additive)
@@ -425,14 +552,22 @@ class LakeTable:
     def add_columns(self, new_fields: StructType | list) -> bool:
         """Additive evolution: append columns to the schema without
         touching any data file.  Idempotent — columns that already exist
-        are skipped.  Returns True if the schema changed."""
+        are skipped (re-checked on rebase, so two writers adding the
+        same column converge on one).  Returns True if the schema
+        changed."""
         fields = list(new_fields)
         existing = {f.name for f in self.schema.fields}
-        to_add = [f for f in fields if f.name not in existing]
-        if not to_add:
+        if all(f.name in existing for f in fields):
             return False
-        new_schema = StructType(self.schema.fields + to_add)
-        self._commit(dict(self.snapshot.files), None, None, schema=new_schema)
+
+        def apply(snap: Snapshot):
+            have = {f.name for f in snap.schema.fields}
+            to_add = [f for f in fields if f.name not in have]
+            return dict(snap.files), (
+                StructType(snap.schema.fields + to_add) if to_add else None
+            )
+
+        self._commit(apply, None, None)
         return True
 
     # ------------------------------------------------------------------
@@ -450,35 +585,73 @@ class LakeTable:
         self.replace_buckets(df, victims, batch_info={"compaction": True})
         return victims
 
-    def expire_snapshots(self, keep_last: int = 2) -> int:
+    def expire_snapshots(self, keep_last: int = 2, full_scan: bool = False) -> int:
         """Delete data files referenced only by snapshots older than the
         last `keep_last` (Iceberg expire_snapshots analogue). Metadata
         JSONs are kept (tiny); only unreachable parquet is removed.
 
-        Scale note: this walks the data directory, so cost is O(files
-        on disk).  Called periodically (the pipeline's compaction hook)
-        that stays bounded — dead files only accumulate between calls,
-        and compaction caps live files per bucket.  A 10^10-row
-        deployment on real Iceberg gets this from the catalog's
-        manifest diff instead of a listing."""
+        Cost is **O(commits since the last expire)**: every snapshot
+        records ``removed_files`` (the parent files it dropped — the
+        Iceberg manifest-diff analogue).  A file removed at version r is
+        referenced only by versions < r, so once all versions < r are
+        expired its removed_files are deletable.  ``metadata/EXPIRED``
+        tracks the highest version whose removed_files were processed —
+        maintenance state, not table state, so it needs no CAS.
+
+        full_scan=True keeps the old O(files-on-disk) directory walk —
+        for tables written before removed_files existed, or to sweep
+        orphans left by a writer that crashed between data write and
+        commit."""
         cur = self.current_version()
-        keep_versions = list(range(max(0, cur - keep_last + 1), cur + 1))
-        live: set[str] = set()
-        for v in keep_versions:
-            snap = self._load_snapshot(v)
-            for fs in snap.files.values():
-                live.update(fs)
+        marker = os.path.join(self._meta_dir, "EXPIRED")
+        try:
+            with open(marker) as f:
+                done = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            done = 0  # v0 has no parent, hence nothing removed
         removed = 0
-        for bdir in sorted(os.listdir(self._data_dir)):
-            full_bdir = os.path.join(self._data_dir, bdir)
-            if not os.path.isdir(full_bdir):
-                continue
-            for fname in os.listdir(full_bdir):
-                rel = os.path.join("data", bdir, fname)
-                if rel not in live:
-                    os.remove(os.path.join(full_bdir, fname))
-                    removed += 1
+        if full_scan:
+            live: set[str] = set()
+            for v in range(max(0, cur - keep_last + 1), cur + 1):
+                for fs in self._load_snapshot(v).files.values():
+                    live.update(fs)
+            for bdir in sorted(os.listdir(self._data_dir)):
+                full_bdir = os.path.join(self._data_dir, bdir)
+                if not os.path.isdir(full_bdir):
+                    continue
+                for fname in os.listdir(full_bdir):
+                    if os.path.join("data", bdir, fname) not in live:
+                        os.remove(os.path.join(full_bdir, fname))
+                        removed += 1
+        else:
+            for r in range(done + 1, max(done, cur - keep_last + 1) + 1):
+                with open(os.path.join(self._meta_dir, f"v{r}.json")) as f:
+                    for rel in json.load(f).get("removed_files", []):
+                        try:
+                            os.remove(os.path.join(self.path, rel))
+                            removed += 1
+                        except FileNotFoundError:
+                            pass
+        # advance the marker (never backward) in both modes
+        last = max(done, cur - keep_last + 1, 0)
+        tmp = marker + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(last))
+        os.replace(tmp, marker)
         return removed
+
+
+def _batch_applied(snap: Snapshot, k: str) -> bool:
+    """Shared exactly-once predicate: explicit entry OR covered by the
+    prefix's compaction watermark.  Used by has_batch and re-checked
+    against the HEAD snapshot inside the commit loop, so the guard
+    holds across concurrent writers, not just restarts."""
+    if k in snap.applied_batches:
+        return True
+    m = _BATCH_KEY_RE.fullmatch(k)
+    if m:
+        return int(m.group(2)) <= (snap.watermarks or {}).get(m.group(1), -1)
+    return False
 
 
 def _compact_applied_batches(

@@ -105,3 +105,95 @@ def test_reader_options():
     assert opts["startingOffsets"] == "latest"
     assert opts["maxOffsetsPerTrigger"] == "50000"
     assert opts["failOnDataLoss"] == "true"
+
+
+def test_encode_decode_roundtrip_identity(spark):
+    """decode(encode(df)) == df for every CHANGE_EVENT_SCHEMA frame,
+    nulls included (offset/timestamp mirror lsn/ingest_ts, so the
+    coalesce backfill reproduces nulls instead of resurrecting them)."""
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+    from data_pipeline_spark.cdc.stream import encode_kafka_value
+
+    rows = [
+        ("d1", 5, "U", [1, 2], 2, "crawl", None, 3, T0),
+        ("d2", None, "I", None, None, None, None, None, None),  # malformed
+        (None, 9, "D", None, None, None, None, 0, T0),  # null key
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    back = decode_kafka_value(encode_kafka_value(df))
+    assert back.schema == CHANGE_EVENT_SCHEMA
+    # repr() as sort key: None-safe total order over mixed tuples
+    assert sorted(map(tuple, back.collect()), key=repr) == sorted(
+        map(tuple, df.collect()), key=repr
+    )
+
+
+def test_kafka_shaped_stream_end_to_end(spark, tmp_path):
+    """VERDICT r2 #3: exercise decode_kafka_value INSIDE a real
+    Structured Streaming query (file stream of Kafka-wire-shaped
+    records, no broker needed), through foreachBatch → CdcPipeline,
+    with a crash mid-replay and a resume — final table must equal the
+    reference reducer's expected state, token-for-token."""
+    from data_pipeline_spark.cdc.oracle import (
+        assert_tokens_equal,
+        expected_final_state,
+        load_log,
+    )
+    from data_pipeline_spark.cdc.pipeline import CdcPipeline
+    from data_pipeline_spark.cdc.stream import (
+        KAFKA_RECORD_SCHEMA,
+        encode_kafka_value,
+    )
+    from data_pipeline_spark.cdc.synth import generate_change_log
+
+    log_dir = str(tmp_path / "log")
+    wire_dir = str(tmp_path / "wire")
+    generate_change_log(log_dir, n_docs=80, seed=31, n_files=6)
+
+    # producer side: re-publish each log segment as one Kafka-wire file
+    # (file ≈ topic segment; preserves segment boundaries → same
+    # micro-batching as the file-stream replay)
+    import glob as _glob
+
+    for f in sorted(_glob.glob(log_dir + "/*.parquet")):
+        seg = spark.read.parquet(f)
+        encode_kafka_value(seg).coalesce(1).write.mode("append").parquet(wire_dir)
+
+    def run(pipe, stop_after=None):
+        n = {"n": 0, "stopped": False}
+
+        class _Stop(Exception):
+            pass
+
+        def _apply(df, batch_id):
+            pipe.apply_batch(decode_kafka_value(df), batch_id)
+            n["n"] += 1
+            if stop_after is not None and n["n"] >= stop_after:
+                n["stopped"] = True
+                raise _Stop()
+
+        q = (
+            spark.readStream.schema(KAFKA_RECORD_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(wire_dir)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            if not n["stopped"]:
+                raise
+        finally:
+            if q.isActive:
+                q.stop()
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=8)
+    run(pipe, stop_after=1)  # crash after first micro-batch commit
+    pipe2 = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=8)
+    run(pipe2)  # resume from checkpoint (re-delivers in-flight batch)
+
+    got = pipe2.current_state().select("doc_id", "tokens", "n_tok", "source")
+    assert_tokens_equal(got.toPandas(), expected_final_state(load_log(log_dir)))

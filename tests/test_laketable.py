@@ -217,3 +217,187 @@ def test_append_rows_driver_side_micro_append(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="single-bucket"):
         multi.append_rows([{"batch_id": 1}])
+
+
+# ---------------------------------------------------------------------------
+# multi-writer CAS (round-3: optimistic concurrency on the CURRENT pointer)
+# ---------------------------------------------------------------------------
+
+
+def test_cas_two_writers_no_lost_update(spark, tmp_path):
+    """Two handles loaded at the same version both commit manifest-only
+    batches; the loser of the version race must rebase, not overwrite —
+    the final head carries BOTH applied batches."""
+    path = str(tmp_path / "t")
+    LakeTable.create(spark, path, SCHEMA, "doc_id", n_buckets=2)
+    w1 = LakeTable.load(spark, path)
+    w2 = LakeTable.load(spark, path)
+    w1.record_batch("control-epoch-a")
+    w2.record_batch("control-epoch-b")  # stale snapshot → CAS retry
+    head = LakeTable.load(spark, path)
+    assert head.has_batch("control-epoch-a") and head.has_batch("control-epoch-b")
+    assert head.version == 2
+
+
+def test_cas_append_race_keeps_both(spark, tmp_path):
+    path = str(tmp_path / "t")
+    LakeTable.create(spark, path, SCHEMA, "doc_id", n_buckets=2)
+    w1 = LakeTable.load(spark, path)
+    w2 = LakeTable.load(spark, path)
+    w1.append(_mk(spark, [("a", [1], 1)]), batch_key="pipeline-1")
+    w2.append(_mk(spark, [("b", [2], 1)]), batch_key="control-1")
+    head = LakeTable.load(spark, path)
+    got = {r.doc_id for r in head.read().collect()}
+    assert got == {"a", "b"}
+    assert head.has_batch("pipeline-1") and head.has_batch("control-1")
+
+
+def test_cas_replace_same_bucket_conflicts(spark, tmp_path):
+    """A replacement planned from a stale snapshot whose bucket was
+    rewritten concurrently must raise CommitConflict (its df embeds
+    stale bucket contents) and leave no orphan data files referenced."""
+    from data_pipeline_spark.table.laketable import CommitConflict
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, SCHEMA, "doc_id", n_buckets=1)
+    t.append(_mk(spark, [("a", [1], 1)]))
+    w1 = LakeTable.load(spark, path)
+    w2 = LakeTable.load(spark, path)
+    w1.replace_buckets(_mk(spark, [("a", [9], 1)]), [0])
+    with pytest.raises(CommitConflict, match="rewritten concurrently"):
+        w2.replace_buckets(_mk(spark, [("a", [7], 1)]), [0])
+    head = LakeTable.load(spark, path)
+    (row,) = head.read().collect()
+    assert row.tokens == [9]  # the first replacement won, nothing lost
+    # conflict left no stray files: every on-disk file is referenced by
+    # SOME snapshot (older versions keep their files for time travel;
+    # only w2's never-committed write must be gone)
+    live = {
+        os.path.basename(f)
+        for v in range(head.version + 1)
+        for fs in head._load_snapshot(v).files.values()
+        for f in fs
+    }
+    on_disk = {
+        f
+        for d in os.listdir(os.path.join(path, "data"))
+        for f in os.listdir(os.path.join(path, "data", d))
+    }
+    assert on_disk == live
+
+
+def test_cas_disjoint_bucket_replace_rebases(spark, tmp_path):
+    """Replacements over DIFFERENT buckets from equally-stale snapshots
+    both commit (automatic rebase, like Iceberg's disjoint-partition
+    overwrite)."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, SCHEMA, "doc_id", n_buckets=4)
+    rows = [(f"d{i}", [i], 1) for i in range(40)]
+    t.append(_mk(spark, rows))
+    by_bucket = {
+        r.doc_id: r.b for r in t.read().withColumn("b", t.bucket_of()).collect()
+    }
+    b0 = by_bucket["d0"]
+    other = next(b for b in range(4) if b != b0)
+    w1 = LakeTable.load(spark, path)
+    w2 = LakeTable.load(spark, path)
+    new0 = _mk(spark, [(k, [99], 1) for k, b in by_bucket.items() if b == b0])
+    new1 = _mk(spark, [(k, [88], 1) for k, b in by_bucket.items() if b == other])
+    w1.replace_buckets(new0, [b0])
+    w2.replace_buckets(new1, [other])  # stale but disjoint → rebases
+    head = LakeTable.load(spark, path)
+    got = {r.doc_id: r.tokens[0] for r in head.read().collect()}
+    for k, b in by_bucket.items():
+        assert got[k] == (99 if b == b0 else 88 if b == other else k_int(k))
+
+
+def k_int(k: str) -> int:
+    return int(k[1:])
+
+
+def test_cas_duplicate_batch_key_across_writers(spark, tmp_path):
+    """Exactly-once must hold across WRITERS: a second writer replaying
+    the same epoch key skips its commit and drops its orphan files."""
+    path = str(tmp_path / "t")
+    LakeTable.create(spark, path, SCHEMA, "doc_id", n_buckets=2)
+    w1 = LakeTable.load(spark, path)
+    w2 = LakeTable.load(spark, path)
+    w1.append(_mk(spark, [("a", [1], 1)]), batch_key="epoch-5")
+    w2.append(_mk(spark, [("a", [1], 1)]), batch_key="epoch-5")  # replay
+    head = LakeTable.load(spark, path)
+    assert head.read().count() == 1  # not doubled
+    assert head.version == 1  # create is v0; one commit, no second
+    live = {os.path.basename(f) for fs in head.snapshot.files.values() for f in fs}
+    on_disk = {
+        f
+        for d in os.listdir(os.path.join(path, "data"))
+        for f in os.listdir(os.path.join(path, "data", d))
+    }
+    assert on_disk == live  # w2's files dropped
+
+
+def test_cas_threaded_contention(spark, tmp_path):
+    """N threads committing manifest-only batches through SEPARATE
+    handles all land: the retry loop converges under real interleaving
+    (worst case: every thread rebases over every other)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    LakeTable.create(spark, path, SCHEMA, "doc_id", n_buckets=2)
+    handles = [LakeTable.load(spark, path) for _ in range(8)]
+
+    with ThreadPoolExecutor(8) as ex:
+        list(
+            ex.map(
+                lambda i: handles[i].record_batch(f"writer-{i}"),
+                range(8),
+            )
+        )
+    head = LakeTable.load(spark, path)
+    for i in range(8):
+        assert head.has_batch(f"writer-{i}")
+    assert head.version == 8  # create is v0; 8 distinct commits
+
+
+def test_current_version_walks_past_stale_pointer(spark, tmp_path):
+    """CURRENT is a hint: if a crashed/raced writer left it behind, the
+    reader walks forward to the true head."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, SCHEMA, "doc_id", n_buckets=2)
+    t.record_batch("1")
+    t.record_batch("2")
+    with open(os.path.join(path, "metadata", "CURRENT"), "w") as f:
+        f.write("0")  # simulate regressed pointer
+    assert LakeTable.load(spark, path).version == 2
+
+
+def test_expire_snapshots_removed_files_delta(spark, tmp_path):
+    """expire_snapshots works off per-commit removed_files manifests
+    (O(delta commits)) and the EXPIRED marker makes a second call a
+    no-op; full_scan sweeps orphans the delta path can't know about."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, SCHEMA, "doc_id", n_buckets=1)
+    t.append(_mk(spark, [("a", [1], 1)]))
+    for v in range(3):  # each replace drops the previous bucket-0 files
+        t.replace_buckets(_mk(spark, [("a", [v], 1)]), [0])
+    removed = t.expire_snapshots(keep_last=2)
+    assert removed > 0
+    assert t.expire_snapshots(keep_last=2) == 0  # marker advanced
+    # table still reads fine at head
+    (row,) = t.read().collect()
+    assert row.tokens == [2]
+    # an orphan (crashed writer) is invisible to the delta path but
+    # swept by full_scan
+    orphan = os.path.join(path, "data", "bucket=0", "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    assert t.expire_snapshots(keep_last=2) == 0
+    assert t.expire_snapshots(keep_last=2, full_scan=True) == 1
+    assert not os.path.exists(orphan)
+
+
+def test_laketable_satisfies_tableformat_protocol(spark, tmp_path):
+    from data_pipeline_spark.table.format import TableFormat
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "doc_id", n_buckets=2)
+    assert isinstance(t, TableFormat)

@@ -148,3 +148,56 @@ def test_observed_merge_same_result(spark, tmp_path):
     assert (
         plain.read().count() == observed.read().count() == 50
     )
+
+
+def test_scd2_joinback_no_extra_exchange_no_wide_resort(spark, tmp_path):
+    """Pins cdc/scd2.py's claim: the closure-delta join-back adds NO
+    exchange and NO re-sort on the wide (reduced-history) side — the
+    SortMergeJoin reuses the reduce's bucket partitioning and its
+    SortAggregate's (bucket, key, lsn) order.  Requires
+    spark.sql.requireAllClusterKeysForCoPartition=false (build_session
+    sets it): Spark 3.3+'s default silently re-shuffles BOTH sides
+    full-width when the co-partitioning is on a prefix of the join keys.
+    """
+    from data_pipeline_spark.cdc.pipeline import CdcPipeline
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+    from data_pipeline_spark.cdc.scd2 import apply_history
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    apply_history(
+        pipe.history,
+        mk([(f"d{i}", i, "I", [1, i], 2, None, None, 0, None) for i in range(50)]),
+        0,
+    )
+    po = {}
+    apply_history(
+        pipe.history,
+        mk([(f"d{i}", 100 + i, "U", [2, i], 2, None, None, 0, None) for i in range(20)]),
+        1,
+        plan_out=po,
+    )
+    plan = _plan(po["closed"])
+    # carve out the wide side: everything between SortMergeJoin and the
+    # reduce's own REPARTITION_BY_NUM exchange
+    m = re.search(
+        r"SortMergeJoin.*?\n(.*?)Exchange hashpartitioning\(_bucket#\d+, \d+\), "
+        r"REPARTITION_BY_NUM",
+        plan,
+        re.S,
+    )
+    assert m, plan
+    wide = m.group(1)
+    assert "SortAggregate" in wide  # we captured the reduce side
+    # between the join and the reduce aggregate: nothing may shuffle or
+    # re-sort (the aggregate's OWN input sort sits below it and is fine)
+    join_to_agg = wide.split("SortAggregate")[0]
+    assert "Exchange" not in join_to_agg, f"extra exchange on wide side:\n{plan}"
+    assert "Sort " not in join_to_agg, f"re-sort of the wide side:\n{plan}"
+    # exactly 2 shuffled exchanges feed the join: the reduce's and the
+    # narrow delta's (the closure's _g exchange + semi-join build are
+    # upstream of the delta's repartition)
+    head = plan.split("FlatMapGroupsInPandas")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", head)) == 2, plan
