@@ -251,6 +251,7 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Near-dup pair list → connected components: every document in a
     component shares a chain of near-dup pairs, and the component label
@@ -264,16 +265,29 @@ def dedup_components(
     in a few rounds.  Each round is one join + one groupBy (two
     shuffles on the id) over the PAIR LIST, not the corpus — the input
     is already the LSH/Jaccard output, orders of magnitude smaller than
-    the document table.  At 10^10-doc scale with adversarial chain-
-    shaped components, switch to the large-star/small-star formulation
-    (Kiveris et al., "Connected Components in MapReduce") — same
-    primitive ops, O(log n) rounds; the simple variant is the right
-    default for near-dup graphs.
+    the document table.
 
-    The per-round convergence check is one small driver action (count
-    of changed labels); labels are cached per round and the previous
-    round's cache is released.
+    algorithm:
+      * ``"propagate"`` (default) — rounds needed = graph DIAMETER;
+        near-dup components are small dense clusters (diameter 2-4 in
+        practice), so this is the cheapest correct choice for them, and
+        it RAISES rather than silently splitting a component when a
+        chain-shaped graph exceeds max_iter.
+      * ``"star"`` — alternating large-star/small-star (Kiveris et al.,
+        "Connected Components in MapReduce and Beyond", SoCC'14):
+        rounds needed = O(log n) REGARDLESS of diameter, so a 10^6-node
+        chain converges in ~10 rounds where propagation needs 10^6.
+        Same primitive ops (join + groupBy over the pair list); the
+        per-round constant is ~2× propagation's, which is why it is not
+        the default for ordinary near-dup graphs.
+
+    The per-round convergence check is one small driver action; per-
+    round frames are cached and the previous round's cache released.
     """
+    if algorithm not in ("propagate", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "star":
+        return _components_star(pairs, id_a, id_b, max_iter)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -287,13 +301,17 @@ def dedup_components(
     # K rounds re-run that stage K times
     edges.cache()
     edges.count()
+    # per-round labels are localCheckpoint-ed (eager), not just cached:
+    # new_labels references the previous labels TWICE (propagation join
+    # + convergence diff), so without lineage truncation the logical
+    # plan doubles per round and planning OOMs near max_iter — the
+    # standard iterative-algorithm pattern.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    labels.cache()
-    labels.count()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -308,15 +326,14 @@ def dedup_components(
                     F.col("component"), F.coalesce("_nbr_min", F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -324,7 +341,6 @@ def dedup_components(
         # silent wrong answers are worse than failure: an unconverged
         # exit would split one real component into several (and diverge
         # from the fully-converged SQL oracle) with no indication
-        labels.unpersist()
         edges.unpersist()
         raise RuntimeError(
             f"dedup_components did not converge in {max_iter} rounds — "
@@ -332,7 +348,102 @@ def dedup_components(
             "raise max_iter or switch to the large-star/small-star variant"
         )
     edges.unpersist()
-    # NOTE: the returned frame is left cached (the propagation lineage is
-    # a deep join chain — recomputing it on unpersist would be worse);
-    # callers streaming it into a write can .unpersist() afterwards.
     return labels
+
+
+def _components_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014).
+
+    Invariant maintained on the undirected edge multiset E:
+      * large-star: for every node u, hook each neighbour v > u onto
+        m = min(N(u) ∪ {u})  → emits (v, m)
+      * small-star: orient every edge large→small; for every node u,
+        hook u and its smaller neighbours onto m = min(N⁻(u) ∪ {u})
+    Both preserve connectivity; alternating them contracts every
+    component into a min-rooted star in O(log n) rounds even for
+    chain/path graphs where plain propagation needs diameter rounds.
+    Convergence = edge multiset reached a fixed point (checked with one
+    count + order-independent hash aggregate per round).
+    """
+    # each round's frame is localCheckpoint-ed (eager): the edge set is
+    # referenced 2-3× per round, so without lineage TRUNCATION the
+    # logical plan tree grows ~3× per round — exponential in rounds —
+    # and planning itself OOMs long before the data does.  cache() only
+    # reuses the physical result; checkpointing is what cuts the tree.
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # orient large→small; component root = global min
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = _edge_signature(edges)
+    for _ in range(max_iter):
+        # ---- large-star ------------------------------------------------
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            both.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # large-star keeps (u, m) edges implicitly via the small-star
+        # input: union with the oriented originals so no hook is lost
+        after_large = (
+            large.unionByName(edges)
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+        # ---- small-star ------------------------------------------------
+        smins = after_large.groupBy("u").agg(F.min("v").alias("m"))
+        hooked = after_large.join(smins, "u")
+        new_edges = (
+            hooked.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(hooked.select("u", F.col("m").alias("v")))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_edges = new_edges.localCheckpoint(eager=True)
+        sig = _edge_signature(new_edges)
+        edges = new_edges  # old checkpoint RDD is GC-reclaimed
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_iter} rounds — "
+            "at O(log n) rounds this implies n > 2^max_iter nodes; raise "
+            "max_iter"
+        )
+    # fixed point = min-rooted stars: every non-root u points at its
+    # component root v; roots appear only on the small side
+    non_roots = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        edges.select(F.col("v").alias("id"))
+        .distinct()
+        .join(non_roots.select("id"), "id", "anti")
+        .withColumn("component", F.col("id"))
+    )
+    return non_roots.unionByName(roots).localCheckpoint(eager=True)
+
+
+def _edge_signature(edges: DataFrame) -> tuple:
+    """(count, order-independent hash) — one scalar job per round.
+    bit_xor (not sum) so the aggregate cannot overflow under ANSI mode;
+    edges are distinct, so xor-of-hashes + count identifies the set."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).first()
+    return (row["n"], row["h"])
