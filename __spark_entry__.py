@@ -613,6 +613,24 @@ def _q_dedup_groups(spark, sf):
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+def _q_dedup_groups_star(spark, sf):
+    """Same dedup-group labelling via the large-star/small-star
+    formulation (Kiveris et al. SoCC'14) — O(log n) rounds regardless
+    of component diameter, the variant a 10^10-doc corpus with
+    chain-shaped dup clusters needs.  Must agree label-for-label with
+    the propagation default (and does: the oracle is the identical
+    recursive-CTE transitive closure)."""
+    from data_pipeline_spark.operators.dedupe import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = _load(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    comp = dedup_components(pairs.select("id_a", "id_b"), algorithm="star")
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def _lineage_like(spark, sf):
     """events → per-(partition, batch) lineage spans: partition = a
     synthetic kafka partition, batch = fixed-width lsn range."""
@@ -713,6 +731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "payload_hash_audit": _q_payload_hash_audit,
     "date_time_keys": _q_date_time_keys,
     "dedup_groups": _q_dedup_groups,
+    "dedup_groups_star": _q_dedup_groups_star,
     "lineage_gap_check": _q_lineage_gap_check,
     "batch_completeness": _q_batch_completeness,
     "freshness_check": _q_freshness_check,
@@ -1206,6 +1225,9 @@ reach(id, label) AS (
   SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src)
 SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
 """
+    # the star variant must land on the identical fixpoint labelling —
+    # same oracle, independently computed transitive closure
+    sql["dedup_groups_star"] = sql["dedup_groups"]
 
     _LINEAGE_CTE = """
 lin AS (
