@@ -156,6 +156,11 @@ def run_replay(spark, log_dir: str, work_dir: str, n_events: int) -> dict:
         "elapsed_sec": round(elapsed, 3),
         "events_per_sec": round(n_events / elapsed, 1),
         "final_rows": final_rows,
+        # per-batch phase walls (probe / merge / history / dead_letter /
+        # lineage / applies / total): the phases whose wall stays flat
+        # from N to 4N cores are the Amdahl constant the scaling
+        # efficiency is paying for
+        "phases": pipeline.phase_times,
     }
 
 
@@ -226,12 +231,36 @@ def _cpu_probe(levels, have_taskset: bool, iters: int = 30_000_000) -> float:
     return round(res[hi]["work_per_sec"] / (hi / lo * res[lo]["work_per_sec"]), 3)
 
 
+def _shuffle_probe(levels, have_taskset: bool, rows: int = 50_000_000) -> float:
+    """Spark range→hash→groupBy-sum at the same confined core counts —
+    the BYTE-MOVING substrate probe.  The cpu probe is cache-resident
+    and blind to DRAM-bandwidth contention (measured: cpu probe 0.98
+    in a window whose engine legs were visibly polluted); this probe
+    moves real shuffle bytes, so a co-tenant saturating memory
+    bandwidth shows up here.  Returns the window's N→4N efficiency for
+    a no-engine-code shuffle workload."""
+    probe = os.path.join(REPO_ROOT, "tools", "scaling_probe.py")
+    res = {}
+    for cpus in levels:
+        cmd = [
+            sys.executable, probe,
+            "--worker", "shuffle", "--cpus", str(cpus), "--rows", str(rows),
+        ]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        res[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = min(levels), max(levels)
+    return round(res[hi]["rows_per_sec"] / (hi / lo * res[lo]["rows_per_sec"]), 3)
+
+
 def run_scaling(
     log_dir: str,
     n_events: int,
     levels=(2, 8),
     repeats: int = 3,
     probe_threshold: float = 0.95,
+    shuffle_threshold: float = 0.75,
     min_clean_pairs: int = 2,
     max_repeats: int = 8,
 ) -> dict:
@@ -241,13 +270,18 @@ def run_scaling(
     wobble ±20%) and every raw run is reported.
 
     Probe-bracketing (round-2 judge ask): each pair is immediately
-    preceded by a pure-cpu substrate probe at the same confined core
-    counts.  A pair is CLEAN when its probe efficiency >= threshold —
-    i.e. the host could scale a zero-bandwidth workload in that window,
-    so the pair measures the engine rather than the neighbours.  The
-    loop keeps adding pairs (up to max_repeats) until `min_clean_pairs`
-    clean pairs exist; the report carries the all-pairs median AND the
-    clean-window median, with every probe value disclosed.
+    preceded by TWO substrate probes at the same confined core counts —
+    a pure-cpu probe (can the cores scale at all?) and a byte-moving
+    shuffle probe (is DRAM bandwidth free? — the round-2/3 data shows
+    the cpu probe alone reads clean in windows where a co-tenant is
+    saturating memory bandwidth).  A pair is CLEAN when cpu_probe >=
+    probe_threshold AND shuffle_probe >= shuffle_threshold — the host
+    could scale both a zero-bandwidth and a bandwidth-bound workload
+    in that window, so the pair measures the engine rather than the
+    neighbours.  The loop keeps adding pairs (up to max_repeats) until
+    `min_clean_pairs` clean pairs exist; the report carries the
+    all-pairs median AND the clean-window median, with every probe
+    value disclosed.
 
     Each level is confined to exactly that many CPUs with taskset (when
     available): an unconfined local[N] JVM still runs JIT-compiler, GC
@@ -259,11 +293,15 @@ def run_scaling(
     have_taskset = _sh.which("taskset") is not None
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     probes: list[float] = []
+    sprobes: list[float] = []
     lo, hi = min(levels), max(levels)
     ratio = hi / lo
 
+    def _is_clean(i: int) -> bool:
+        return probes[i] >= probe_threshold and sprobes[i] >= shuffle_threshold
+
     def _clean_count() -> int:
-        return sum(1 for p in probes if p >= probe_threshold)
+        return sum(1 for i in range(len(probes)) if _is_clean(i))
 
     # alternate levels within each repeat so host drift hits both sides
     n_pairs = 0
@@ -271,6 +309,7 @@ def run_scaling(
         _clean_count() < min_clean_pairs and n_pairs < max_repeats
     ):
         probes.append(_cpu_probe(levels, have_taskset))
+        sprobes.append(_shuffle_probe(levels, have_taskset))
         for cpus in levels:
             runs[cpus].append(_run_level(cpus, log_dir, n_events, have_taskset))
         n_pairs += 1
@@ -280,7 +319,7 @@ def run_scaling(
         round(h["events_per_sec"] / (ratio * l["events_per_sec"]), 3)
         for l, h in zip(runs[lo], runs[hi])
     ]
-    clean_effs = [e for e, p in zip(eff_each, probes) if p >= probe_threshold]
+    clean_effs = [e for i, e in enumerate(eff_each) if _is_clean(i)]
     return {
         f"local[{lo}]": {"median_events_per_sec": med[lo], "runs": runs[lo]},
         f"local[{hi}]": {"median_events_per_sec": med[hi], "runs": runs[hi]},
@@ -289,7 +328,9 @@ def run_scaling(
         "cpu_confinement": "taskset" if have_taskset else "none",
         "per_pair_efficiency": eff_each,
         "per_pair_cpu_probe": probes,
+        "per_pair_shuffle_probe": sprobes,
         "probe_threshold": probe_threshold,
+        "shuffle_threshold": shuffle_threshold,
         "clean_pairs": len(clean_effs),
         "clean_window_median_efficiency": (
             round(_median(clean_effs), 3) if clean_effs else None
@@ -317,6 +358,10 @@ def main() -> None:
     ap.add_argument("--probe-threshold", type=float, default=0.95,
                     help="cpu-probe efficiency above which a pair's "
                          "window counts as clean")
+    ap.add_argument("--shuffle-threshold", type=float, default=0.75,
+                    help="shuffle-probe (byte-moving) efficiency floor "
+                         "for a clean window; the cpu probe alone is "
+                         "blind to DRAM-bandwidth co-tenants")
     ap.add_argument("--min-clean-pairs", type=int, default=2,
                     help="keep adding pairs until this many clean "
                          "windows are captured (bounded by --max-repeats)")
@@ -342,6 +387,7 @@ def main() -> None:
             scaling = run_scaling(
                 log_dir, n_events, levels, args.repeats,
                 probe_threshold=args.probe_threshold,
+                shuffle_threshold=args.shuffle_threshold,
                 min_clean_pairs=args.min_clean_pairs,
                 max_repeats=args.max_repeats,
             )

@@ -77,6 +77,11 @@ class CdcPipeline:
         assert lineage_mode in ("partition", "observed")
         self.lineage_mode = lineage_mode
         self._batches_applied = 0
+        # per-batch phase walls (seconds), appended by apply_batch.
+        # Cost: a handful of perf_counter calls — always on.  This is
+        # the N→4N decomposition instrument: phases whose wall does NOT
+        # shrink with executors are the pipeline's Amdahl constant.
+        self.phase_times: list[dict] = []
 
         def tbl(name: str, schema, key: str, nb: int) -> LakeTable:
             path = os.path.join(self.base_dir, name)
@@ -97,7 +102,11 @@ class CdcPipeline:
     def apply_batch(self, df: DataFrame, batch_id: int) -> dict:
         """Apply one micro-batch; safe to call again with the same
         batch_id after a crash (exactly-once via commit manifests)."""
+        import time as _time
+
         bkey = str(batch_id)
+        _t0 = _time.perf_counter()
+        _ph: dict = {"batch_id": batch_id}
         # NOTE: df is deliberately NOT persisted or pre-deduplicated —
         # merge and history each reduce the batch on their own shuffle
         # (duplicates collapse there), and the remaining consumers (ddl
@@ -126,7 +135,13 @@ class CdcPipeline:
             F.collect_set(F.when(valid, self.target.bucket_of("doc_id"))).alias(
                 "bs"
             ),
-            F.count_distinct(F.when(valid, F.col("doc_id"))).alias("nd"),
+            # HLL, not exact count_distinct: nd only gates the history
+            # broadcast decision (order-of-magnitude), and the exact
+            # version builds a per-partition hash set over every key —
+            # measured 18-21 s/batch at 8.3M events vs ~0 for the sketch
+            F.approx_count_distinct(
+                F.when(valid, F.col("doc_id")), 0.02
+            ).alias("nd"),
             F.sum(
                 F.when(~is_schema & failure.isNotNull(), 1).otherwise(0)
             ).alias("n_dead"),
@@ -134,6 +149,7 @@ class CdcPipeline:
             F.min(F.when(valid, F.col("lsn"))).alias("min_lsn"),
             F.max(F.when(valid, F.col("lsn"))).alias("max_lsn"),
         ).first()
+        _ph["probe"] = round(_time.perf_counter() - _t0, 3)
         ddls = sorted(d for d in probe["ddls"] if d)
         affected = [int(b) for b in probe["bs"]]
         n_docs = int(probe["nd"] or 0)
@@ -257,12 +273,25 @@ class CdcPipeline:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        def _timed(fn):
+            def run():
+                s = _time.perf_counter()
+                try:
+                    fn()
+                finally:
+                    _ph[fn.__name__.lstrip("_")] = round(
+                        _time.perf_counter() - s, 3
+                    )
+            return run
+
         with ThreadPoolExecutor(max_workers=4) as pool:
             futures = [
-                pool.submit(fn) for fn in (_merge, _history, _dead_letter, _lineage)
+                pool.submit(_timed(fn))
+                for fn in (_merge, _history, _dead_letter, _lineage)
             ]
             for f in futures:
                 f.result()  # re-raise the first failure
+        _ph["applies"] = round(_time.perf_counter() - _t0, 3)
 
         # observed-mode lineage: one global row per batch, built from
         # the fused probe (identical numbers ride the merge action via
@@ -306,6 +335,8 @@ class CdcPipeline:
                 if self.history is not None:
                     self.history.expire_snapshots(keep_last=2)
 
+        _ph["total"] = round(_time.perf_counter() - _t0, 3)
+        self.phase_times.append(_ph)
         return stats
 
 

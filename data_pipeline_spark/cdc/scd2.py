@@ -256,9 +256,11 @@ def apply_history(
     ).withColumn(BUCKET_COL, history.bucket_of(key))
     if affected is None or n_docs is None:
         # one driver job for both planning inputs: buckets + key count
+        # (HLL — nd only gates the broadcast decision, and exact
+        # count_distinct hash-sets every key per partition)
         probe = nv.agg(
             F.collect_set(BUCKET_COL).alias("bs"),
-            F.count_distinct(F.col(key)).alias("nd"),
+            F.approx_count_distinct(F.col(key), 0.02).alias("nd"),
         ).first()
         affected, n_docs = list(probe["bs"]), int(probe["nd"])
     else:
@@ -376,6 +378,7 @@ def apply_history(
         batch_info={"buckets": sorted(affected)},
         prepartitioned=True,
     )
+    # changed_docs is an HLL estimate (±2%) when derived from the probe
     return {"buckets": sorted(affected), "changed_docs": n_docs}
 
 
