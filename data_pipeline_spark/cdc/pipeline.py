@@ -337,6 +337,10 @@ class CdcPipeline:
 
         _ph["total"] = round(_time.perf_counter() - _t0, 3)
         self.phase_times.append(_ph)
+        # bounded for continuous deployments: a months-long query must
+        # not grow driver memory with one dict per trigger
+        if len(self.phase_times) > 4096:
+            del self.phase_times[:-2048]
         return stats
 
 

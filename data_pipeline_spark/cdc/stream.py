@@ -155,6 +155,34 @@ def kafka_source(
     return decode_kafka_value(reader.load())
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("doc_id", "lsn"),
+    ts_col: str = "ingest_ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming-state dedup for a continuous-trigger deployment
+    (SURVEY.md T2 latency/cost polish; reference analogue: the
+    bridge's in-memory message dedup window).
+
+    The batch path does NOT need this for correctness — at-least-once
+    duplicate deliveries collapse inside the merge's max_by reduce and
+    the history apply's reduces — but in a long-running continuous
+    query, dropping re-deliveries BEFORE foreachBatch saves the whole
+    downstream apply for pure-duplicate triggers.
+
+    `dropDuplicatesWithinWatermark` keeps per-key state ONLY until the
+    watermark passes (bounded state, unlike plain dropDuplicates whose
+    state grows with every key ever seen — unusable on an unbounded
+    change log).  A duplicate arriving later than `delay` after the
+    original is NOT dropped here; it lands in a batch and collapses in
+    the merge reduce as before — the two layers compose.
+    """
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_stream(
     spark: SparkSession,
     log_dir: str,
