@@ -37,7 +37,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..table.laketable import BUCKET_COL, LakeTable
+from ..table.laketable import (
+    BUCKET_COL,
+    DINBASE_COL,
+    DOP_COL,
+    DORD_COL,
+    LakeTable,
+)
 from .schema import stamp_batch_id
 
 
@@ -79,6 +85,13 @@ def merge_into(
     if not affected:
         table.record_batch(str(batch_id), {"rows": 0})
         return {"buckets": []}
+
+    mor = table.merge_on_read
+    if mor is not None and mor.get("mode") == "upsert":
+        return _merge_into_mor(
+            table, d, batch_id, payload_cols, meta_cols,
+            shuffle_partitions, observation, affected,
+        )
 
     t = table.read(buckets=affected).withColumn(BUCKET_COL, table.bucket_of(key))
 
@@ -170,5 +183,102 @@ def merge_into(
         batch_key=str(batch_id),
         batch_info={"buckets": sorted(affected)},
         prepartitioned=True,
+    )
+    return {"buckets": sorted(affected)}
+
+
+def _merge_into_mor(
+    table: LakeTable,
+    d: DataFrame,
+    batch_id: int | str,
+    payload_cols,
+    meta_cols,
+    shuffle_partitions: int | None,
+    observation,
+    affected: list[int],
+) -> dict:
+    """Merge-on-read MERGE: the batch lands as an UPSERT DELTA commit —
+    one full row version (or tombstone) per changed key — and nothing
+    existing is rewritten.  ``LakeTable.read`` applies the same
+    lsn-guarded LWW at scan time (strictly-newer delta replaces/deletes,
+    base wins ties); ``compact()`` folds the lane back into base files.
+
+    Per-batch cost: one batch-sized shuffle (the bucket repartition
+    whose exchange the per-(bucket, key) reduce and the delta write
+    both reuse) plus a NARROW key-column scan of the touched buckets
+    to stamp ``_in_base`` (insert-vs-update disambiguation for the
+    shuffle-free broadcast read path) — vs copy-on-write's full-width
+    read+rewrite of every touched bucket.  The late/duplicate no-op
+    guarantee (T4) moves intact from write to read: a stale delta loses
+    the read-time order comparison instead of the write-time one.
+    """
+    key = table.key_col
+    batch_stamp = F.lit(stamp_batch_id(batch_id)).cast("long")
+    changes = d
+    d_side = d.select(
+        F.col(key),
+        F.col(BUCKET_COL),
+        F.col("lsn"),
+        F.col("op").alias(DOP_COL),
+        (
+            F.col("ingest_ts")
+            if "ingest_ts" in changes.columns
+            else F.lit(None).cast("timestamp")
+        ).alias(DORD_COL),
+        *[
+            (F.col(f.name) if f.name in changes.columns else F.lit(None)).cast(
+                f.dataType
+            ).alias(f.name)
+            for f in payload_cols
+        ],
+        batch_stamp.alias("_batch_id"),
+        F.current_timestamp().alias("_applied_at"),
+    )
+    if observation is not None:
+        d_side = d_side.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum(F.when(F.col(DOP_COL) == "D", 1).otherwise(0)).alias("deletes"),
+        )
+
+    value_cols = [c for c in d_side.columns if c not in (key, BUCKET_COL)]
+    packed = F.struct(*[F.col(c) for c in value_cols])
+    # within the batch: highest lsn wins, last arrival by ingest_ts
+    # breaks ties — identical to the CoW change-side ordering
+    order_key = F.struct(F.col("lsn").alias("o1"), F.col(DORD_COL).alias("o2"))
+    nparts = shuffle_partitions or max(
+        2 * table.n_buckets,
+        int(d.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    reduced = (
+        d_side.repartition(nparts, BUCKET_COL)
+        .groupBy(BUCKET_COL, key)
+        .agg(F.max_by(packed, order_key).alias("_row"))
+        .select(F.col(BUCKET_COL), F.col(key), "_row.*")
+    )
+
+    # _in_base: does the key exist in the base files?  A narrow,
+    # bucket-pruned single-column scan joined on (bucket, key) — the
+    # reduce side reuses its exchange AND its sort-aggregate order, so
+    # only the key column shuffles (see test_plans.py's join-back pin).
+    base_keys = (
+        table.read(buckets=affected, with_deltas=False)
+        .select(key)
+        .withColumn(BUCKET_COL, table.bucket_of(key))
+        .withColumn("_inb", F.lit(True))
+        .repartition(nparts, F.col(BUCKET_COL))
+    )
+    flagged = reduced.join(base_keys, [BUCKET_COL, key], "left").withColumn(
+        DINBASE_COL, F.coalesce(F.col("_inb"), F.lit(False))
+    ).drop("_inb")
+
+    table.merge_append(
+        None,
+        flagged,
+        buckets=affected,
+        batch_key=str(batch_id),
+        batch_info={"buckets": sorted(affected), "mor": True},
     )
     return {"buckets": sorted(affected)}

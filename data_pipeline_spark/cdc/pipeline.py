@@ -55,6 +55,7 @@ class CdcPipeline:
         expire_snapshots: bool = False,
         scd2_check_cols: list[str] | None = None,
         lineage_mode: str = "partition",
+        storage: str = "mor",
     ):
         self.spark = spark
         self.base_dir = os.path.abspath(base_dir)
@@ -76,6 +77,15 @@ class CdcPipeline:
         # and no count_distinct), so rows_deduped is null there.
         assert lineage_mode in ("partition", "observed")
         self.lineage_mode = lineage_mode
+        # storage: "mor" (default) = merge-on-read — batches commit as
+        # base-append + delta files, per-batch write volume O(batch),
+        # compaction folds the lane; "cow" = copy-on-write — touched
+        # buckets are rewritten wholesale per batch (simpler reads, the
+        # round-3 review's write-amplification scale-killer at uniform
+        # key batches).  A table's mode is fixed at creation; loading an
+        # existing warehouse keeps whatever its metadata says.
+        assert storage in ("mor", "cow")
+        self.storage = storage
         self._batches_applied = 0
         # per-batch phase walls (seconds), appended by apply_batch.
         # Cost: a handful of perf_counter calls — always on.  This is
@@ -83,15 +93,26 @@ class CdcPipeline:
         # shrink with executors are the pipeline's Amdahl constant.
         self.phase_times: list[dict] = []
 
-        def tbl(name: str, schema, key: str, nb: int) -> LakeTable:
+        def tbl(name: str, schema, key: str, nb: int, mor=None) -> LakeTable:
             path = os.path.join(self.base_dir, name)
             if LakeTable.exists(path):
                 return LakeTable.load(spark, path)
-            return LakeTable.create(spark, path, schema, key_col=key, n_buckets=nb)
+            return LakeTable.create(
+                spark, path, schema, key_col=key, n_buckets=nb,
+                merge_on_read=mor if storage == "mor" else None,
+            )
 
-        self.target = tbl("target", TARGET_SCHEMA_BASE, "doc_id", n_buckets)
+        self.target = tbl(
+            "target", TARGET_SCHEMA_BASE, "doc_id", n_buckets,
+            mor={"mode": "upsert", "row_id_cols": ["doc_id"],
+                 "order_cols": ["lsn"]},
+        )
         self.history = (
-            tbl("history", HISTORY_SCHEMA_BASE, "doc_id", n_buckets)
+            tbl(
+                "history", HISTORY_SCHEMA_BASE, "doc_id", n_buckets,
+                mor={"mode": "patch", "row_id_cols": ["doc_id", "lsn"],
+                     "patch_cols": ["valid_to_utc", "is_current"]},
+            )
             if enable_history
             else None
         )

@@ -117,6 +117,11 @@ def _make_close_kernel(key: str, group_col: str):
                 "lsn": pdf["lsn"].to_numpy()[changed],
                 "valid_to_utc": valid_to[changed],
                 "is_current": is_current[changed],
+                # is_insert: the surviving copy is NEW (not stored) — the
+                # merge-on-read path appends these as base rows and turns
+                # the rest (changed validity of STORED rows) into patch
+                # deltas; re-delivered stored rows are never re-inserted
+                "is_insert": pdf["_is_new"].to_numpy(dtype="bool")[changed],
             }
         )
 
@@ -130,6 +135,7 @@ def _closure_schema(key: str) -> StructType:
             StructField("lsn", LongType()),
             StructField("valid_to_utc", TimestampType()),
             StructField("is_current", BooleanType()),
+            StructField("is_insert", BooleanType()),
         ]
     )
 
@@ -308,6 +314,16 @@ def apply_history(
         _make_close_kernel(key, "_g"), schema=_closure_schema(key)
     )
 
+    nparts = shuffle_partitions or max(
+        2 * history.n_buckets,
+        int(new_versions.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    mor = history.merge_on_read
+    if mor is not None and mor.get("mode") == "patch":
+        return _apply_history_mor(
+            history, nv, closure, affected, n_docs, batch_id, nparts, plan_out
+        )
+
     # full-width union (duplicates still present), reduced to one row
     # per (key, lsn) on the write's bucket exchange: stored row wins,
     # else first-arrival copy — the same pick as the kernel's dedup
@@ -327,10 +343,6 @@ def apply_history(
     rest_cols = [c for c in combined.columns if c not in (key, "lsn", BUCKET_COL)]
     packed = F.struct(*[F.col(c) for c in rest_cols])
     order_key = F.struct(F.col("_is_new").alias("o1"), F.col("valid_from_utc").alias("o2"))
-    nparts = shuffle_partitions or max(
-        2 * history.n_buckets,
-        int(new_versions.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-    )
     reduced = (
         combined.repartition(nparts, BUCKET_COL)
         .groupBy(BUCKET_COL, key, "lsn")
@@ -347,7 +359,8 @@ def apply_history(
     # [bucket, key, lsn] adds NO exchange and no re-sort of the wide
     # side — only the narrow delta shuffles.
     x = (
-        closure.withColumnsRenamed(
+        closure.drop("is_insert")
+        .withColumnsRenamed(
             {"valid_to_utc": "_new_vt", "is_current": "_new_ic"}
         )
         .withColumn(BUCKET_COL, history.bucket_of(key))
@@ -379,6 +392,101 @@ def apply_history(
         prepartitioned=True,
     )
     # changed_docs is an HLL estimate (±2%) when derived from the probe
+    return {"buckets": sorted(affected), "changed_docs": n_docs}
+
+
+def _apply_history_mor(
+    history: LakeTable,
+    nv: DataFrame,
+    closure: DataFrame,
+    affected: list[int],
+    n_docs: int,
+    batch_id: int | str,
+    nparts: int,
+    plan_out: dict | None,
+) -> dict:
+    """Merge-on-read history apply: per-batch WRITE volume is O(batch).
+
+    Copy-on-write (`apply_history`'s default tail) reads and rewrites
+    every touched bucket wholesale — at uniformly-hashed CDC keys that
+    is the whole, monotonically-growing history table per micro-batch
+    (the round-3 review's one remaining scale-killer).  Here instead:
+
+    * the batch's genuinely-new versions (closure rows flagged
+      ``is_insert``) are appended as base files, already carrying their
+      final validity;
+    * validity changes to STORED rows (close-on-insert, bi-temporal
+      corrections) become a small (key, lsn, valid_to, is_current)
+      PATCH delta per bucket — Iceberg v2 equality-delete / Hudi MoR
+      analogue (reference analogue: the dbt incremental merge never
+      rewrites the table per run, trades_enriched.sql:2-5);
+    * ``LakeTable.read`` resolves patches at scan time (latest _dseq
+      per (key, lsn)); ``compact()`` folds them back into the base on
+      the small-file trigger, amortising the rewrite.
+
+    Plan shape: ONE batch-sized wide shuffle (the repartition-by-bucket
+    reduce, whose exchange the (bucket, key, lsn) groupBy and the
+    bucketed write both reuse) + the narrow closure join — the same
+    zero-extra-exchange join-back as the CoW path, minus the full-width
+    table rewrite.
+    """
+    key = history.key_col
+
+    # full width, deduped to one row per (key, lsn): first arrival wins
+    # (same pick as the kernel), on the write's bucket exchange
+    nv_full = nv
+    for f in history.schema.fields:
+        if f.name not in nv_full.columns:
+            nv_full = nv_full.withColumn(f.name, F.lit(None).cast(f.dataType))
+    width_cols = [f.name for f in history.schema.fields]
+    nv_full = nv_full.select(*width_cols, BUCKET_COL)
+    rest_cols = [c for c in width_cols if c not in (key, "lsn")]
+    packed = F.struct(*[F.col(c) for c in rest_cols])
+    reduced = (
+        nv_full.repartition(nparts, BUCKET_COL)
+        .groupBy(BUCKET_COL, key, "lsn")
+        .agg(F.min_by(packed, F.col("valid_from_utc")).alias("_row"))
+        .select(F.col(BUCKET_COL), F.col(key), F.col("lsn"), "_row.*")
+    )
+
+    # genuinely-new versions keep only closure-flagged inserts (inner
+    # join drops cross-batch re-deliveries of stored rows) and pick up
+    # their final validity; the narrow side shuffles, the wide side
+    # reuses the reduce's partitioning and sort order
+    x = (
+        closure.filter(F.col("is_insert"))
+        .select(key, "lsn", F.col("valid_to_utc").alias("_new_vt"),
+                F.col("is_current").alias("_new_ic"))
+        .withColumn(BUCKET_COL, history.bucket_of(key))
+        .repartition(nparts, F.col(BUCKET_COL))
+    )
+    new_rows = reduced.join(x, [BUCKET_COL, key, "lsn"], "inner").select(
+        *[
+            F.col("_new_vt").alias("valid_to_utc")
+            if c == "valid_to_utc"
+            else F.col("_new_ic").alias("is_current")
+            if c == "is_current"
+            else F.col(c)
+            for c in width_cols
+        ],
+        F.col(BUCKET_COL),
+    )
+
+    patches = closure.filter(~F.col("is_insert")).select(
+        key, "lsn", "valid_to_utc", "is_current"
+    )
+
+    if plan_out is not None:
+        plan_out["mor_new_rows"] = new_rows
+
+    history.merge_append(
+        new_rows,
+        patches,
+        buckets=affected,
+        batch_key=str(batch_id),
+        batch_info={"buckets": sorted(affected), "mor": True},
+        prepartitioned=True,
+    )
     return {"buckets": sorted(affected), "changed_docs": n_docs}
 
 

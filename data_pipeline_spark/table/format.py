@@ -3,11 +3,13 @@
 The engine's writers (``cdc.merge.merge_into``, ``cdc.scd2.apply_history``,
 ``CdcPipeline``) never touch files; they drive a table through this
 protocol.  :class:`~.laketable.LakeTable` is the in-repo implementation
-(parquet + JSON snapshots + CAS commits); a real-Iceberg deployment
-implements the same protocol over a catalog (see :mod:`.iceberg` for the
-SQL each method maps to).  Extracting the seam is what makes the engine
-portable to Iceberg/Delta without touching the operator code — the
-round-2 review's ask.
+(parquet + JSON snapshots + CAS commits, Iceberg-style);
+:class:`~.deltalog.DeltaLogTable` is a second, independently-laid-out
+binding (ordered JSON action log, Delta-style) that pins the seam.  A
+real-Iceberg deployment implements the same protocol over a catalog —
+the table below gives the SQL each method maps to.  Extracting the
+seam is what makes the engine portable to Iceberg/Delta without
+touching the operator code — the round-2 review's ask.
 
 Method → Iceberg mapping:
 
@@ -20,6 +22,9 @@ read               ``spark.table(name)`` (+ ``VERSION AS OF`` for
 replace_buckets    copy-on-write ``MERGE INTO``/``REPLACE WHERE`` over
                    the bucket predicate (one atomic snapshot commit)
 append             ``df.writeTo(name).append()``
+merge_append       merge-on-read commit: new data files + equality-
+                   delete/patch delta files in one snapshot (Iceberg
+                   v2 row-level deletes / Hudi MoR delta commit)
 append_rows        driver-side small append (Iceberg writers commit
                    tiny metadata-lane rows the same way)
 record_batch       snapshot summary properties on an empty commit
@@ -69,6 +74,7 @@ class TableFormat(Protocol):
         self,
         buckets: Iterable[int] | None = None,
         version: int | None = None,
+        with_deltas: bool = True,
     ) -> DataFrame: ...
 
     # write / commit ----------------------------------------------------
@@ -86,6 +92,20 @@ class TableFormat(Protocol):
         df: DataFrame,
         batch_key: str | None = None,
         batch_info: dict[str, Any] | None = None,
+    ) -> None: ...
+
+    # merge-on-read lane --------------------------------------------------
+    @property
+    def merge_on_read(self) -> dict[str, Any] | None: ...
+
+    def merge_append(
+        self,
+        new_rows: DataFrame | None,
+        delta: DataFrame | None,
+        buckets: Iterable[int],
+        batch_key: str | None = None,
+        batch_info: dict[str, Any] | None = None,
+        prepartitioned: bool = False,
     ) -> None: ...
 
     def record_batch(

@@ -31,6 +31,22 @@ implements the subset of Iceberg semantics the CDC pipeline needs
 * **Small-file compaction** — ``compact()`` rewrites buckets whose file
   count exceeds a threshold (north_rule: compaction triggered by
   small-file thresholds), equivalent to Iceberg rewrite_data_files.
+* **Merge-on-read delta lane** — a table created with ``merge_on_read``
+  accepts :meth:`merge_append` commits: the batch's NEW rows are
+  appended as base files and the batch's row-level mutations land as
+  small per-bucket DELTA files; nothing existing is rewritten, so
+  per-batch write volume is O(batch), not O(touched buckets).
+  ``read()`` resolves deltas on the fly (Iceberg v2 equality-delete /
+  Hudi MoR analogue) and ``compact()`` folds them back into the base.
+  Two modes:
+
+  - ``patch``: delta rows overwrite ``patch_cols`` of an existing row
+    identified by ``row_id_cols`` (SCD2 closure: only
+    valid_to_utc/is_current of prior versions ever change);
+  - ``upsert``: delta rows are whole new row versions / tombstones per
+    ``row_id_cols``; the read-side merge applies the same
+    ``order_cols``-guarded LWW as a copy-on-write MERGE (base wins
+    ties, strictly-newer delta replaces or deletes).
 
 * **Optimistic-concurrency commits (multi-writer safe)** — a commit
   publishes ``v{N+1}.json`` with an exclusive-create hard link: if
@@ -50,6 +66,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass, field
@@ -59,6 +76,15 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from .mor import (  # noqa: F401 — system cols re-exported for writers
+    DINBASE_COL,
+    DOP_COL,
+    DORD_COL,
+    DSEQ_COL,
+    resolve_deltas,
+    validate_mor,
+)
 
 BUCKET_COL = "_bucket"
 
@@ -98,13 +124,17 @@ class Snapshot:
     # entries may have been compacted away).  Keeps snapshot metadata
     # O(1) in table history instead of one entry per commit forever.
     watermarks: dict[str, int] = field(default_factory=dict)
+    # merge-on-read lane: bucket -> relative delta-file paths, resolved
+    # by read() per `merge_on_read` and folded into base by compact()
+    delta_files: dict[int, list[str]] = field(default_factory=dict)
+    merge_on_read: dict[str, Any] | None = None
 
 
 # explicit applied-batch entries retained per prefix beyond the
 # watermark (for operator introspection of recent commits)
 KEEP_RECENT_BATCHES = 16
 
-_BATCH_KEY_RE = __import__("re").compile(r"(.*?)(\d+)")
+_BATCH_KEY_RE = re.compile(r"(.*?)(\d+)")
 
 
 class LakeTable:
@@ -129,12 +159,15 @@ class LakeTable:
         key_col: str,
         n_buckets: int = 16,
         overwrite: bool = False,
+        merge_on_read: dict[str, Any] | None = None,
     ) -> "LakeTable":
         tbl = cls(spark, path)
         if os.path.exists(tbl._meta_dir):
             if not overwrite:
                 raise FileExistsError(f"LakeTable already exists at {path}")
             shutil.rmtree(tbl.path)
+        if merge_on_read is not None:
+            validate_mor(merge_on_read, schema, key_col)
         os.makedirs(tbl._meta_dir, exist_ok=True)
         os.makedirs(tbl._data_dir, exist_ok=True)
         meta = {
@@ -146,6 +179,7 @@ class LakeTable:
             "applied_batches": {},
             "parent": None,
             "committed_at": _utcnow_iso(),
+            "merge_on_read": merge_on_read,
         }
         tbl._publish(meta)
         tbl._snapshot = tbl._load_snapshot(0)
@@ -188,6 +222,8 @@ class LakeTable:
             parent=m["parent"],
             committed_at=m["committed_at"],
             watermarks=m.get("watermarks", {}),
+            delta_files={int(k): v for k, v in m.get("delta_files", {}).items()},
+            merge_on_read=m.get("merge_on_read"),
         )
 
     def _publish(self, meta: dict[str, Any]) -> None:
@@ -272,9 +308,22 @@ class LakeTable:
         was definitely committed)."""
         return _batch_applied(self.snapshot, str(batch_key))
 
+    @property
+    def merge_on_read(self) -> dict[str, Any] | None:
+        return self.snapshot.merge_on_read
+
     def file_stats(self) -> dict[int, int]:
-        """bucket -> file count (drives the compaction trigger)."""
-        return {b: len(fs) for b, fs in self.snapshot.files.items()}
+        """bucket -> base+delta file count (drives the compaction
+        trigger: un-folded delta files are read-side merge work, so
+        they count toward the small-file threshold like base files)."""
+        out = {b: len(fs) for b, fs in self.snapshot.files.items()}
+        for b, fs in self.snapshot.delta_files.items():
+            out[b] = out.get(b, 0) + len(fs)
+        return out
+
+    def delta_stats(self) -> dict[int, int]:
+        """bucket -> un-folded delta file count."""
+        return {b: len(fs) for b, fs in self.snapshot.delta_files.items()}
 
     # ------------------------------------------------------------------
     # read
@@ -283,12 +332,20 @@ class LakeTable:
         self,
         buckets: Iterable[int] | None = None,
         version: int | None = None,
+        with_deltas: bool = True,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-travelled).
+        ``with_deltas=False`` scans BASE files only (the merge-on-read
+        writers use it to stamp base-membership; not a consistent view).
 
         Reading through the snapshot schema means files written before a
         schema evolution surface NULL for the added columns — no file
         rewrite needed (additive evolution, SURVEY.md C8).
+
+        Merge-on-read tables resolve their delta lane here: the delta
+        side is bounded by the compaction cadence (batch-sized files
+        folded every ``compact()``), so the join/merge against it is a
+        broadcast-scale map-side operation, never a shuffle of the base.
         """
         snap = self.snapshot if version is None else self._load_snapshot(version)
         sel = set(buckets) if buckets is not None else None
@@ -299,8 +356,29 @@ class LakeTable:
             for rel in fs
         ]
         if not paths:
-            return self.spark.createDataFrame([], snap.schema)
-        return self.spark.read.schema(snap.schema).parquet(*paths)
+            base = self.spark.createDataFrame([], snap.schema)
+        else:
+            base = self.spark.read.schema(snap.schema).parquet(*paths)
+        dpaths = [
+            os.path.join(self.path, rel)
+            for b, fs in snap.delta_files.items()
+            if sel is None or b in sel
+            for rel in fs
+        ]
+        if not dpaths or not with_deltas:
+            return base
+        return self._resolve_deltas(snap, base, dpaths)
+
+    def _resolve_deltas(self, snap: Snapshot, base: DataFrame, dpaths) -> DataFrame:
+        """Merge the delta lane into the base scan (Iceberg v2 / Hudi
+        MoR read path) — format-independent semantics live in
+        :func:`data_pipeline_spark.table.mor.resolve_deltas`."""
+        assert snap.merge_on_read is not None, (
+            "delta files on a table without merge_on_read"
+        )
+        return resolve_deltas(
+            self.spark, snap.schema, snap.merge_on_read, base, dpaths
+        )
 
     # ------------------------------------------------------------------
     # write / commit
@@ -333,7 +411,23 @@ class LakeTable:
             # partitions so buckets don't hash-collide into a straggler
             # task (see merge.py).
             df = df.repartition(2 * self.n_buckets, F.col(BUCKET_COL))
+        return self._stage_and_move(df, "data")
 
+    def _write_delta_files(self, df: DataFrame) -> dict[int, list[str]]:
+        """Materialise a delta frame (already carrying BUCKET_COL and the
+        delta-lane system columns) under delta/bucket=K/.  Delta frames
+        are batch-sized, so no extra repartition is imposed when the
+        caller's frame is already bucket-partitioned."""
+        if BUCKET_COL not in df.columns:
+            df = df.withColumn(BUCKET_COL, self.bucket_of())
+            df = df.repartition(2 * self.n_buckets, F.col(BUCKET_COL))
+        return self._stage_and_move(df, "delta")
+
+    def _stage_and_move(self, df: DataFrame, lane: str) -> dict[int, list[str]]:
+        """Write df partitioned by BUCKET_COL into a staging dir, then
+        rename the parquet files under <lane>/bucket=K/ (same-filesystem
+        rename, cheap).  Files become visible only via the subsequent
+        metadata publish."""
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
         df.write.partitionBy(BUCKET_COL).parquet(stage)
 
@@ -342,7 +436,7 @@ class LakeTable:
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
             b = int(entry.split("=", 1)[1])
-            bdir = os.path.join(self._data_dir, f"bucket={b}")
+            bdir = os.path.join(self.path, lane, f"bucket={b}")
             os.makedirs(bdir, exist_ok=True)
             for fname in sorted(os.listdir(os.path.join(stage, entry))):
                 if not fname.endswith(".parquet"):
@@ -353,7 +447,7 @@ class LakeTable:
                     os.path.join(bdir, new_name),
                 )
                 new_files.setdefault(b, []).append(
-                    os.path.join("data", f"bucket={b}", new_name)
+                    os.path.join(lane, f"bucket={b}", new_name)
                 )
         shutil.rmtree(stage)
         return new_files
@@ -368,7 +462,8 @@ class LakeTable:
 
         apply_fn(snap) is the REBASE CLOSURE: called against the
         freshest snapshot on every attempt, it returns
-        ``(files, schema_or_None)`` for the next snapshot — or raises
+        ``(files, schema_or_None, delta_files)`` for the next snapshot
+        — or raises
         CommitConflict when the concurrent history cannot be rebased
         over (replace_buckets with a rewritten bucket).  Each retry
         implies another writer committed, so the loop makes system-wide
@@ -387,15 +482,23 @@ class LakeTable:
             self._snapshot = snap
             if batch_key is not None and _batch_applied(snap, str(batch_key)):
                 return False
-            files, schema = apply_fn(snap)
-            parent_set = {f for fs in snap.files.values() for f in fs}
-            new_set = {f for fs in files.values() for f in fs}
+            files, schema, delta_files = apply_fn(snap)
+            parent_set = {f for fs in snap.files.values() for f in fs} | {
+                f for fs in snap.delta_files.values() for f in fs
+            }
+            new_set = {f for fs in files.values() for f in fs} | {
+                f for fs in delta_files.values() for f in fs
+            }
             meta = {
                 "version": snap.version + 1,
                 "schema": (schema or snap.schema).json(),
                 "n_buckets": snap.n_buckets,
                 "key_col": snap.key_col,
                 "files": {str(b): fs for b, fs in files.items() if fs},
+                "delta_files": {
+                    str(b): fs for b, fs in delta_files.items() if fs
+                },
+                "merge_on_read": snap.merge_on_read,
                 "applied_batches": dict(snap.applied_batches),
                 "parent": snap.version,
                 "committed_at": _utcnow_iso(),
@@ -436,13 +539,16 @@ class LakeTable:
     ) -> None:
         """Copy-on-write commit: new content for `buckets`, all other
         buckets' files carried forward untouched.  Data for the replaced
-        buckets MUST all be present in df (caller merges old+new).
+        buckets MUST all be present in df (caller merges old+new).  On a
+        merge-on-read table the replaced buckets' DELTA files are
+        dropped in the same commit (the caller's df came from a
+        delta-resolved read — this is how compaction folds the lane).
 
         Multi-writer: rebases cleanly over concurrent commits that did
         not touch the replaced buckets (manifest-only commits, appends,
         disjoint replacements); raises CommitConflict if a replaced
-        bucket's file list changed since this writer planned (its df was
-        computed from stale bucket contents)."""
+        bucket's base-file or delta-file list changed since this writer
+        planned (its df was computed from stale bucket contents)."""
         replaced = set(int(b) for b in buckets)
         base = self.snapshot
         new_files = self._write_data_files(df, prepartitioned=prepartitioned)
@@ -455,7 +561,9 @@ class LakeTable:
 
         def apply(snap: Snapshot):
             for b in replaced:
-                if snap.files.get(b, []) != base.files.get(b, []):
+                if snap.files.get(b, []) != base.files.get(b, []) or (
+                    snap.delta_files.get(b, []) != base.delta_files.get(b, [])
+                ):
                     raise CommitConflict(
                         f"bucket {b} of {self.path} was rewritten concurrently "
                         f"(planned at v{base.version}, head moved); recompute "
@@ -464,7 +572,10 @@ class LakeTable:
             merged = {b: fs for b, fs in snap.files.items() if b not in replaced}
             for b, fs in new_files.items():
                 merged[b] = fs
-            return merged, None
+            deltas = {
+                b: fs for b, fs in snap.delta_files.items() if b not in replaced
+            }
+            return merged, None, deltas
 
         try:
             committed = self._commit(apply, batch_key, batch_info)
@@ -489,10 +600,93 @@ class LakeTable:
             merged = {b: list(fs) for b, fs in snap.files.items()}
             for b, fs in new_files.items():
                 merged.setdefault(b, []).extend(fs)
-            return merged, None
+            return merged, None, dict(snap.delta_files)
 
         if not self._commit(apply, batch_key, batch_info):
             self._drop_orphans(new_files)
+
+    def merge_append(
+        self,
+        new_rows: DataFrame | None,
+        delta: DataFrame | None,
+        buckets: Iterable[int],
+        batch_key: str | None = None,
+        batch_info: dict[str, Any] | None = None,
+        prepartitioned: bool = False,
+    ) -> None:
+        """Merge-on-read commit: append `new_rows` as base files and
+        `delta` as delta-lane files in ONE atomic snapshot — nothing
+        existing is rewritten, so the write volume is O(batch).
+
+        `delta` must already carry the mode's system columns (patch:
+        row ids + patch cols; upsert: full row + _op/_ord_ts/_in_base);
+        the commit-order stamp ``_dseq`` is added here.  Written buckets
+        must fall inside `buckets` (the caller's planned touch set).
+
+        Multi-writer: appends rebase over concurrent appends and
+        manifest commits.  A concurrent COMPACTION of a touched bucket
+        raises CommitConflict for upsert mode (the folded base changes
+        row-id membership, which ``_in_base`` was planned against);
+        patch-mode deltas target rows by id and rebase over compaction
+        safely.  Two concurrent writers patching the SAME row id commit
+        in an undefined relative order (same as any optimistic lane) —
+        the CDC pipeline serialises per-table applies, so its deltas
+        are strictly ordered by ``_dseq``."""
+        mor = self.merge_on_read
+        if mor is None:
+            raise ValueError("merge_append requires a merge_on_read table")
+        touched = set(int(b) for b in buckets)
+        base = self.snapshot
+        dseq = base.version + 1
+        new_files = (
+            self._write_data_files(new_rows, prepartitioned=prepartitioned)
+            if new_rows is not None
+            else {}
+        )
+        delta_new = (
+            self._write_delta_files(delta.withColumn(DSEQ_COL, F.lit(dseq)))
+            if delta is not None
+            else {}
+        )
+        for b in set(new_files) | set(delta_new):
+            if b not in touched:
+                self._drop_orphans(new_files)
+                self._drop_orphans(delta_new)
+                raise ValueError(
+                    f"write produced rows for bucket {b} outside touch set {touched}"
+                )
+
+        def apply(snap: Snapshot):
+            if mor["mode"] == "upsert":
+                for b in touched:
+                    planned = base.delta_files.get(b, [])
+                    head = snap.delta_files.get(b, [])
+                    if head[: len(planned)] != planned or (
+                        snap.files.get(b, [])[: len(base.files.get(b, []))]
+                        != base.files.get(b, [])
+                    ):
+                        raise CommitConflict(
+                            f"bucket {b} of {self.path} was compacted/rewritten "
+                            f"concurrently (planned at v{base.version}); "
+                            "_in_base flags are stale — recompute and retry"
+                        )
+            merged = {b: list(fs) for b, fs in snap.files.items()}
+            for b, fs in new_files.items():
+                merged.setdefault(b, []).extend(fs)
+            deltas = {b: list(fs) for b, fs in snap.delta_files.items()}
+            for b, fs in delta_new.items():
+                deltas.setdefault(b, []).extend(fs)
+            return merged, None, deltas
+
+        try:
+            committed = self._commit(apply, batch_key, batch_info)
+        except Exception:
+            self._drop_orphans(new_files)
+            self._drop_orphans(delta_new)
+            raise
+        if not committed:
+            self._drop_orphans(new_files)
+            self._drop_orphans(delta_new)
 
     def append_rows(
         self,
@@ -534,7 +728,7 @@ class LakeTable:
         def apply(snap: Snapshot):
             merged = {b: list(fs) for b, fs in snap.files.items()}
             merged.setdefault(0, []).append(rel)
-            return merged, None
+            return merged, None, dict(snap.delta_files)
 
         if not self._commit(apply, batch_key, batch_info):
             self._drop_orphans({0: [rel]})
@@ -544,7 +738,11 @@ class LakeTable:
     ) -> None:
         """Commit a manifest-only snapshot (e.g. an empty batch is still
         recorded so a restart skips it)."""
-        self._commit(lambda snap: (dict(snap.files), None), batch_key, batch_info)
+        self._commit(
+            lambda snap: (dict(snap.files), None, dict(snap.delta_files)),
+            batch_key,
+            batch_info,
+        )
 
     # ------------------------------------------------------------------
     # schema evolution (metadata-only, additive)
@@ -563,8 +761,10 @@ class LakeTable:
         def apply(snap: Snapshot):
             have = {f.name for f in snap.schema.fields}
             to_add = [f for f in fields if f.name not in have]
-            return dict(snap.files), (
-                StructType(snap.schema.fields + to_add) if to_add else None
+            return (
+                dict(snap.files),
+                StructType(snap.schema.fields + to_add) if to_add else None,
+                dict(snap.delta_files),
             )
 
         self._commit(apply, None, None)
@@ -613,16 +813,23 @@ class LakeTable:
         if full_scan:
             live: set[str] = set()
             for v in range(max(0, cur - keep_last + 1), cur + 1):
-                for fs in self._load_snapshot(v).files.values():
+                s = self._load_snapshot(v)
+                for fs in s.files.values():
                     live.update(fs)
-            for bdir in sorted(os.listdir(self._data_dir)):
-                full_bdir = os.path.join(self._data_dir, bdir)
-                if not os.path.isdir(full_bdir):
+                for fs in s.delta_files.values():
+                    live.update(fs)
+            for lane in ("data", "delta"):
+                lane_dir = os.path.join(self.path, lane)
+                if not os.path.isdir(lane_dir):
                     continue
-                for fname in os.listdir(full_bdir):
-                    if os.path.join("data", bdir, fname) not in live:
-                        os.remove(os.path.join(full_bdir, fname))
-                        removed += 1
+                for bdir in sorted(os.listdir(lane_dir)):
+                    full_bdir = os.path.join(lane_dir, bdir)
+                    if not os.path.isdir(full_bdir):
+                        continue
+                    for fname in os.listdir(full_bdir):
+                        if os.path.join(lane, bdir, fname) not in live:
+                            os.remove(os.path.join(full_bdir, fname))
+                            removed += 1
         else:
             for r in range(done + 1, max(done, cur - keep_last + 1) + 1):
                 with open(os.path.join(self._meta_dir, f"v{r}.json")) as f:
