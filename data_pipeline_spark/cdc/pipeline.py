@@ -56,6 +56,7 @@ class CdcPipeline:
         scd2_check_cols: list[str] | None = None,
         lineage_mode: str = "partition",
         storage: str = "mor",
+        table_format=None,
     ):
         self.spark = spark
         self.base_dir = os.path.abspath(base_dir)
@@ -86,6 +87,11 @@ class CdcPipeline:
         # existing warehouse keeps whatever its metadata says.
         assert storage in ("mor", "cow")
         self.storage = storage
+        # table_format: the TableFormat binding backing the warehouse —
+        # LakeTable (Iceberg-style snapshots, default) or DeltaLogTable
+        # (Delta-style action log); the pipeline drives either through
+        # the same protocol (table/format.py)
+        self.table_format = table_format or LakeTable
         self._batches_applied = 0
         # per-batch phase walls (seconds), appended by apply_batch.
         # Cost: a handful of perf_counter calls — always on.  This is
@@ -93,11 +99,13 @@ class CdcPipeline:
         # shrink with executors are the pipeline's Amdahl constant.
         self.phase_times: list[dict] = []
 
-        def tbl(name: str, schema, key: str, nb: int, mor=None) -> LakeTable:
+        fmt = self.table_format
+
+        def tbl(name: str, schema, key: str, nb: int, mor=None):
             path = os.path.join(self.base_dir, name)
-            if LakeTable.exists(path):
-                return LakeTable.load(spark, path)
-            return LakeTable.create(
+            if fmt.exists(path):
+                return fmt.load(spark, path)
+            return fmt.create(
                 spark, path, schema, key_col=key, n_buckets=nb,
                 merge_on_read=mor if storage == "mor" else None,
             )
@@ -171,6 +179,7 @@ class CdcPipeline:
             F.max(F.when(valid, F.col("lsn"))).alias("max_lsn"),
         ).first()
         _ph["probe"] = round(_time.perf_counter() - _t0, 3)
+        _ph["rows"] = int((probe["n_valid"] or 0) + (probe["n_dead"] or 0))
         ddls = sorted(d for d in probe["ddls"] if d)
         affected = [int(b) for b in probe["bs"]]
         n_docs = int(probe["nd"] or 0)
@@ -348,6 +357,7 @@ class CdcPipeline:
         # -- 7. maintenance ----------------------------------------
         self._batches_applied += 1
         if self.compact_every and self._batches_applied % self.compact_every == 0:
+            _tc = _time.perf_counter()
             stats["compacted"] = self.target.compact(self.max_files_per_bucket)
             if self.history is not None:
                 self.history.compact(self.max_files_per_bucket)
@@ -355,6 +365,10 @@ class CdcPipeline:
                 self.target.expire_snapshots(keep_last=2)
                 if self.history is not None:
                     self.history.expire_snapshots(keep_last=2)
+            # compaction wall is reported separately: it is the MoR
+            # lane's amortized rewrite cost, paid every compact_every
+            # batches instead of every batch (BENCH.md steady-state)
+            _ph["compact"] = round(_time.perf_counter() - _tc, 3)
 
         _ph["total"] = round(_time.perf_counter() - _t0, 3)
         self.phase_times.append(_ph)

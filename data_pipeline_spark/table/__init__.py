@@ -1,3 +1,5 @@
+from .deltalog import DeltaLogTable
+from .format import TableFormat
 from .laketable import LakeTable
 
-__all__ = ["LakeTable"]
+__all__ = ["DeltaLogTable", "LakeTable", "TableFormat"]

@@ -853,11 +853,18 @@ def _batch_applied(snap: Snapshot, k: str) -> bool:
     prefix's compaction watermark.  Used by has_batch and re-checked
     against the HEAD snapshot inside the commit loop, so the guard
     holds across concurrent writers, not just restarts."""
-    if k in snap.applied_batches:
+    return _batch_applied_kv(snap.applied_batches, snap.watermarks or {}, k)
+
+
+def _batch_applied_kv(
+    applied: dict[str, Any], watermarks: dict[str, int], k: str
+) -> bool:
+    """State-shape-independent form (shared with DeltaLogTable)."""
+    if k in applied:
         return True
     m = _BATCH_KEY_RE.fullmatch(k)
     if m:
-        return int(m.group(2)) <= (snap.watermarks or {}).get(m.group(1), -1)
+        return int(m.group(2)) <= watermarks.get(m.group(1), -1)
     return False
 
 

@@ -35,12 +35,31 @@ def _final_pandas(pipeline):
     return df.toPandas()
 
 
-def test_replay_matches_oracle(spark, log_dir, tmp_path):
-    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=8, compact_every=0)
+@pytest.mark.parametrize(
+    "fmt,storage,compact_every",
+    [
+        ("lake", "mor", 2),   # default storage + mid-replay lane fold
+        ("lake", "cow", 0),   # round-1..3 copy-on-write path
+        ("delta", "mor", 2),  # second TableFormat binding (seam proof)
+    ],
+    ids=["lake-mor", "lake-cow", "delta-mor"],
+)
+def test_replay_matches_oracle(spark, log_dir, tmp_path, fmt, storage, compact_every):
+    from data_pipeline_spark.table import DeltaLogTable, LakeTable
+
+    cls = {"lake": LakeTable, "delta": DeltaLogTable}[fmt]
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"), n_buckets=8, compact_every=compact_every,
+        storage=storage, table_format=cls,
+    )
     n = replay_batches(spark, log_dir, pipe, files_per_batch=2)
     assert n == 3
     expected = expected_final_state(load_log(log_dir))
     assert_tokens_equal(_final_pandas(pipe), expected)
+    # history closure invariant holds across formats/storages: exactly
+    # one current row per live doc
+    cur = pipe.history_df().filter("is_current").groupBy("doc_id").count()
+    assert cur.filter("count > 1").count() == 0
 
 
 def test_replay_single_big_batch_same_result(spark, log_dir, tmp_path):

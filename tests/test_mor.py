@@ -1,0 +1,274 @@
+"""Merge-on-read delta lane + second TableFormat binding (round 4).
+
+Pins the storage-level semantics the MoR write paths depend on:
+patch/upsert resolution, compaction folding, time travel through the
+lane, the compaction-vs-writer races, and LakeTable/DeltaLogTable
+protocol equivalence on the same operation sequence.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from data_pipeline_spark.table import DeltaLogTable, LakeTable, TableFormat
+from data_pipeline_spark.table.laketable import CommitConflict
+from data_pipeline_spark.table.mor import DINBASE_COL, DOP_COL, DORD_COL
+
+HIST = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("lsn", LongType()),
+        StructField("valid_to_utc", TimestampType()),
+        StructField("is_current", BooleanType()),
+    ]
+)
+TGT = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("v", StringType()),
+        StructField("lsn", LongType()),
+    ]
+)
+EOT = datetime.datetime(9999, 12, 31, 23, 59, 59)
+PATCH_MOR = {
+    "mode": "patch",
+    "row_id_cols": ["doc_id", "lsn"],
+    "patch_cols": ["valid_to_utc", "is_current"],
+}
+UPSERT_MOR = {"mode": "upsert", "row_id_cols": ["doc_id"], "order_cols": ["lsn"]}
+
+FORMATS = {"lake": LakeTable, "delta": DeltaLogTable}
+
+
+def _upsert_delta(spark, rows, in_base):
+    df = spark.createDataFrame(rows, TGT)
+    return (
+        df.withColumn(DOP_COL, F.when(F.col("v").isNull(), "D").otherwise("U"))
+        .withColumn(DORD_COL, F.current_timestamp())
+        .withColumn(DINBASE_COL, F.lit(in_base))
+    )
+
+
+@pytest.mark.parametrize("fmt", ["lake", "delta"])
+def test_patch_mode_resolution_and_fold(spark, tmp_path, fmt):
+    cls = FORMATS[fmt]
+    t = cls.create(
+        spark, str(tmp_path / "h"), HIST, "doc_id", n_buckets=4,
+        merge_on_read=PATCH_MOR,
+    )
+    t.merge_append(
+        spark.createDataFrame([("a", 1, EOT, True), ("b", 1, EOT, True)], HIST),
+        None, buckets=range(4), batch_key="0",
+    )
+    closed = datetime.datetime(2024, 1, 1)
+    t.merge_append(
+        spark.createDataFrame([("a", 2, EOT, True)], HIST),
+        spark.createDataFrame([("a", 1, closed, False)], HIST).select(
+            "doc_id", "lsn", "valid_to_utc", "is_current"
+        ),
+        buckets=range(4), batch_key="1",
+    )
+    got = {(r.doc_id, r.lsn): (r.valid_to_utc, r.is_current) for r in t.read().collect()}
+    assert got == {
+        ("a", 1): (closed, False),
+        ("a", 2): (EOT, True),
+        ("b", 1): (EOT, True),
+    }
+    # later patch of the same row id wins (per-commit _dseq)
+    closed2 = datetime.datetime(2024, 6, 1)
+    t.merge_append(
+        None, spark.createDataFrame([("a", 1, closed2, False)], HIST),
+        buckets=range(4), batch_key="2",
+    )
+    prev = t.version - 1
+    assert t.read().filter("doc_id='a' and lsn=1").first().valid_to_utc == closed2
+    # time travel re-resolves the OLD delta set
+    tt = t.read(version=prev).filter("doc_id='a' and lsn=1").first()
+    assert tt.valid_to_utc == closed
+    # compaction folds the lane; resolved state unchanged
+    assert t.delta_stats()
+    assert t.compact(max_files_per_bucket=0)
+    assert not t.delta_stats()
+    got2 = {(r.doc_id, r.lsn): r.valid_to_utc for r in t.read().collect()}
+    assert got2[("a", 1)] == closed2 and len(got2) == 3
+
+
+@pytest.mark.parametrize("fmt", ["lake", "delta"])
+def test_upsert_mode_lww_guard_and_fold(spark, tmp_path, fmt):
+    cls = FORMATS[fmt]
+    u = cls.create(
+        spark, str(tmp_path / "t"), TGT, "doc_id", n_buckets=4,
+        merge_on_read=UPSERT_MOR,
+    )
+    u.merge_append(
+        None, _upsert_delta(spark, [("a", "a1", 1), ("b", "b1", 1)], False),
+        buckets=range(4), batch_key="0",
+    )
+    assert {r.doc_id: r.v for r in u.read().collect()} == {"a": "a1", "b": "b1"}
+    u.compact(max_files_per_bucket=0)  # inserts become base rows
+    # newer update replaces, tombstone deletes, fresh insert lands
+    u.merge_append(
+        None, _upsert_delta(spark, [("a", "a2", 5), ("b", None, 9)], True),
+        buckets=range(4), batch_key="1",
+    )
+    u.merge_append(
+        None, _upsert_delta(spark, [("c", "c1", 2)], False),
+        buckets=range(4), batch_key="2",
+    )
+    got = {r.doc_id: (r.v, r.lsn) for r in u.read().collect()}
+    assert got == {"a": ("a2", 5), "c": ("c1", 2)}
+    # STALE delta (lower lsn) loses the read-time order guard (T4)
+    u.merge_append(
+        None, _upsert_delta(spark, [("a", "stale", 3)], True),
+        buckets=range(4), batch_key="3",
+    )
+    assert {r.doc_id: r.v for r in u.read().collect()}["a"] == "a2"
+    # equal order key across commits: earlier commit wins (== CoW
+    # target-wins-ties)
+    u.merge_append(
+        None, _upsert_delta(spark, [("c", "c-later", 2)], False),
+        buckets=range(4), batch_key="4",
+    )
+    assert {r.doc_id: r.v for r in u.read().collect()}["c"] == "c1"
+    u.compact(max_files_per_bucket=0)
+    assert {r.doc_id: (r.v, r.lsn) for r in u.read().collect()} == {
+        "a": ("a2", 5), "c": ("c1", 2),
+    }
+
+
+@pytest.mark.parametrize("fmt", ["lake", "delta"])
+def test_compaction_racing_upsert_writer_conflicts(spark, tmp_path, fmt):
+    """The realistic race (round-3 review ask): a pipeline merge_append
+    planned BEFORE a compaction commits must not land stale _in_base
+    flags — the rebase detects the fold and raises; re-planning from the
+    fresh state converges with no lost update."""
+    cls = FORMATS[fmt]
+    path = str(tmp_path / "t")
+    cls.create(spark, path, TGT, "doc_id", n_buckets=1, merge_on_read=UPSERT_MOR)
+    w1 = cls.load(spark, path)
+    w1.merge_append(
+        None, _upsert_delta(spark, [("a", "a1", 1)], False),
+        buckets=[0], batch_key="0",
+    )
+    # writer plans an update against the un-compacted state…
+    w2 = cls.load(spark, path)
+    # …compaction folds the lane first
+    w1.refresh().compact(max_files_per_bucket=0)
+    with pytest.raises(CommitConflict):
+        w2.merge_append(
+            None, _upsert_delta(spark, [("a", "a2", 5)], False),
+            buckets=[0], batch_key="1",
+        )
+    # recompute from fresh state (a is now IN base) → converges
+    w2.refresh()
+    w2.merge_append(
+        None, _upsert_delta(spark, [("a", "a2", 5)], True),
+        buckets=[0], batch_key="1",
+    )
+    head = cls.load(spark, path)
+    assert {r.doc_id: r.v for r in head.read().collect()} == {"a": "a2"}
+    assert head.has_batch("0") and head.has_batch("1")
+
+
+def test_compaction_racing_patch_writer_rebases(spark, tmp_path):
+    """Patch deltas target rows by id, so a patch merge_append planned
+    before a concurrent compaction commits REBASES safely (no conflict,
+    no lost update) — the asymmetry vs upsert mode is deliberate."""
+    path = str(tmp_path / "h")
+    LakeTable.create(
+        spark, path, HIST, "doc_id", n_buckets=1, merge_on_read=PATCH_MOR
+    )
+    w1 = LakeTable.load(spark, path)
+    w1.merge_append(
+        spark.createDataFrame([("a", 1, EOT, True)], HIST), None,
+        buckets=[0], batch_key="0",
+    )
+    closed = datetime.datetime(2024, 1, 1)
+    w2 = LakeTable.load(spark, path)
+    w1.refresh().compact(max_files_per_bucket=0)
+    # w2 plans against the pre-compaction state; patch rebases cleanly
+    w2.merge_append(
+        spark.createDataFrame([("a", 2, EOT, True)], HIST),
+        spark.createDataFrame([("a", 1, closed, False)], HIST),
+        buckets=[0], batch_key="1",
+    )
+    head = LakeTable.load(spark, path)
+    got = {(r.doc_id, r.lsn): r.is_current for r in head.read().collect()}
+    assert got == {("a", 1): False, ("a", 2): True}
+
+
+def test_compaction_trigger_counts_delta_files(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "h"), HIST, "doc_id", n_buckets=1,
+        merge_on_read=PATCH_MOR,
+    )
+    t.merge_append(
+        spark.createDataFrame([("a", 1, EOT, True)], HIST), None,
+        buckets=[0], batch_key="0",
+    )
+    for i in range(4):
+        t.merge_append(
+            None,
+            spark.createDataFrame(
+                [("a", 1, datetime.datetime(2024, 1, 1 + i), False)], HIST
+            ),
+            buckets=[0], batch_key=str(i + 1),
+        )
+    assert t.file_stats()[0] >= 5  # 1 base + 4 delta
+    assert t.compact(max_files_per_bucket=4) == [0]
+    assert not t.delta_stats()
+
+
+def test_deltalog_satisfies_protocol_and_checkpoints(spark, tmp_path):
+    t = DeltaLogTable.create(
+        spark, str(tmp_path / "t"), TGT, "doc_id", n_buckets=2
+    )
+    assert isinstance(t, TableFormat)
+    for i in range(12):  # crosses CHECKPOINT_EVERY
+        t.append(
+            spark.createDataFrame([(f"d{i}", f"v{i}", i)], TGT),
+            batch_key=str(i),
+        )
+    assert any(
+        n.startswith("checkpoint-") for n in os.listdir(str(tmp_path / "t" / "_log"))
+    )
+    # reload reconstructs from checkpoint + tail
+    t2 = DeltaLogTable.load(spark, str(tmp_path / "t"))
+    assert t2.read().count() == 12
+    assert t2.has_batch("0") and t2.has_batch("11") and not t2.has_batch("12")
+    # time travel by log-prefix replay
+    assert t2.read(version=3).count() == 3
+    # schema evolution is a metaData action
+    assert t2.add_columns([StructField("extra", StringType())])
+    assert t2.read().filter(F.col("extra").isNull()).count() == 12
+    # vacuum after compaction removes unreferenced flat files
+    t2.compact(max_files_per_bucket=1)
+    assert t2.expire_snapshots() > 0
+    assert t2.read().count() == 12
+
+
+def test_deltalog_concurrent_writers_cas(spark, tmp_path):
+    path = str(tmp_path / "t")
+    DeltaLogTable.create(spark, path, TGT, "doc_id", n_buckets=2)
+    w1 = DeltaLogTable.load(spark, path)
+    w2 = DeltaLogTable.load(spark, path)
+    w1.append(spark.createDataFrame([("a", "x", 1)], TGT), batch_key="a-1")
+    w2.append(spark.createDataFrame([("b", "y", 1)], TGT), batch_key="b-1")
+    head = DeltaLogTable.load(spark, path)
+    assert {r.doc_id for r in head.read().collect()} == {"a", "b"}
+    assert head.has_batch("a-1") and head.has_batch("b-1")
+    # duplicate batch key across writers is skipped
+    w2.append(spark.createDataFrame([("a", "x", 1)], TGT), batch_key="a-1")
+    assert DeltaLogTable.load(spark, path).read().count() == 2

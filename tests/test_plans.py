@@ -163,7 +163,7 @@ def test_scd2_joinback_no_extra_exchange_no_wide_resort(spark, tmp_path):
     from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
     from data_pipeline_spark.cdc.scd2 import apply_history
 
-    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=4)
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=4, storage="cow")
     mk = lambda rows: spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).withColumn(
         "ingest_ts", F.current_timestamp()
     )
@@ -201,3 +201,44 @@ def test_scd2_joinback_no_extra_exchange_no_wide_resort(spark, tmp_path):
     # upstream of the delta's repartition)
     head = plan.split("FlatMapGroupsInPandas")[0]
     assert len(re.findall(r"Exchange hashpartitioning", head)) == 2, plan
+
+
+def test_mor_history_apply_no_extra_exchange(spark, tmp_path):
+    """Merge-on-read history apply (the round-4 write path): the
+    insert-filter join-back must reuse the batch reduce's bucket
+    partitioning and sort order exactly like the CoW pin above — one
+    batch-sized wide exchange on the full-width side, the narrow
+    closure side shuffling alone."""
+    from data_pipeline_spark.cdc.pipeline import CdcPipeline
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+    from data_pipeline_spark.cdc.scd2 import apply_history
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=4, storage="mor")
+    mk = lambda rows: spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    apply_history(
+        pipe.history,
+        mk([(f"d{i}", i, "I", [1, i], 2, None, None, 0, None) for i in range(50)]),
+        0,
+    )
+    po = {}
+    apply_history(
+        pipe.history,
+        mk([(f"d{i}", 100 + i, "U", [2, i], 2, None, None, 0, None) for i in range(20)]),
+        1,
+        plan_out=po,
+    )
+    plan = _plan(po["mor_new_rows"])
+    m = re.search(
+        r"SortMergeJoin.*?\n(.*?)Exchange hashpartitioning\(_bucket#\d+, \d+\), "
+        r"REPARTITION_BY_NUM",
+        plan,
+        re.S,
+    )
+    assert m, plan
+    wide = m.group(1)
+    assert "SortAggregate" in wide or "HashAggregate" in wide
+    join_to_agg = re.split(r"SortAggregate|HashAggregate", wide)[0]
+    assert "Exchange" not in join_to_agg, f"extra exchange on wide side:\n{plan}"
+    assert "Sort " not in join_to_agg, f"re-sort of the wide side:\n{plan}"
