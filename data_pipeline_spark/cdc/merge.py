@@ -27,9 +27,20 @@ of a full-outer join:
 partitioning on a subset of the grouping keys satisfies the clustered
 distribution), and the bucketed write skips its own repartition — the
 full-outer-join formulation costs two wide shuffles (join + write),
-this costs one.  Only the hash-buckets containing affected keys are
-read and rewritten (copy-on-write at bucket granularity): per-batch
-cost ∝ touched data, not table size.
+this costs one.
+
+Storage modes (selected by the table's ``merge_on_read`` config):
+
+* **merge-on-read** (CdcPipeline default, round 4): the reduced batch
+  lands as an upsert DELTA commit (:func:`_merge_into_mor`) — nothing
+  existing is rewritten, per-batch write volume O(batch); the read
+  side applies the same lsn-guarded LWW at scan time and compaction
+  folds the lane.
+* **copy-on-write**: the tail of :func:`merge_into` — only the
+  hash-buckets containing affected keys are read and rewritten; cheap
+  reads, but per-batch write volume ∝ touched buckets' full contents
+  (at uniformly-hashed keys, the whole table — the round-3 review's
+  scale-killer, which MoR removes).
 """
 
 from __future__ import annotations

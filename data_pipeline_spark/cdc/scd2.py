@@ -14,13 +14,17 @@ previously-current row, and a late-arriving older version slots into the
 middle of the chain (bi-temporal correction) — so closure is recomputed
 for every affected key.
 
-Scale design — the closure kernel is NARROW.  Token payloads never
-cross the JVM↔Python boundary and the full-width table data is shuffled
-exactly once (the bucketed write):
+Scale design — the closure kernel is NARROW and its input is the
+CHAIN SUFFIX.  Token payloads never cross the JVM↔Python boundary and
+the full-width data is shuffled exactly once per batch:
 
-  1. affected_docs = keys in this batch (broadcast);
-  2. existing versions of those keys, projected to (key, lsn, op,
-     valid_from) — a column-pruned scan, parquet reads 4 columns;
+  1. per-key ``min(incoming lsn)`` (batch-sized, broadcast);
+  2. existing versions projected to (key, lsn, op, valid_from, stored
+     validity) — a column-pruned scan — PRUNED to rows with
+     lsn >= min(incoming lsn) plus the single insertion-predecessor
+     row per key (round 4): closure is invariant for anything older,
+     so per-batch kernel volume is O(batch) for in-order streams
+     instead of O(full history of affected keys);
   3. replay guard: cross-batch re-deliveries of versions already in
      the table collapse inside the reduces — the narrow kernel and the
      full-width min_by both pick the STORED row over a re-delivered
@@ -30,9 +34,15 @@ exactly once (the bucketed write):
      requirement) computes lead(valid_from)-1s per key on the narrow
      frame — thousands of keys per Arrow batch, vectorized pandas, no
      per-row Python;
-  5. the closure deltas are broadcast-joined back onto the full-width
-     union (map-side, no shuffle); unaffected keys keep stored ranges;
-  6. bucketed copy-on-write commit (the one wide shuffle).
+  5. the closure delta (changed rows only, flagged insert-vs-stored)
+     drives the write:
+
+     * merge-on-read history (default): new versions append as base
+       files already carrying final validity; stored-row validity
+       changes become per-bucket PATCH delta files
+       (:func:`_apply_history_mor`) — per-batch write volume O(batch);
+     * copy-on-write: the delta joins back onto the full-width union
+       with zero extra exchange and the touched buckets are rewritten.
 
 For enormous batches (more changed keys than is broadcastable) the
 ``broadcast_max_docs`` gate falls back to a shuffle-based variant of
@@ -283,21 +293,46 @@ def apply_history(
         # pre-gate `affected` stays the bucket superset (a fully-gated
         # bucket is rewritten unchanged — correct, just not pruned)
         nv = _change_gate(existing, nv, key, check_cols)
-    affected_docs = nv.select(key).distinct()
 
-    # narrow frame: existing versions of affected keys + the new ones;
-    # stored validity rides along so the kernel can emit only CHANGED
-    # rows (delta closure) — the join-back broadcast then scales with
-    # the batch, not with the full history of the affected keys
-    ex_narrow = existing.select(
-        key,
-        "lsn",
-        "op",
-        "valid_from_utc",
-        F.coalesce(F.unix_micros("valid_to_utc"), F.lit(-1)).alias("_stored_vt_us"),
-        F.coalesce(F.col("is_current"), F.lit(False)).alias("_stored_ic"),
-        F.lit(False).alias("_is_new"),
-    ).join(maybe_bcast(affected_docs), key, "semi")
+    # CHAIN-SUFFIX pruning (round 4): the closure of a stored version
+    # can only change if a version is inserted at-or-before it in lsn
+    # order, so the kernel needs, per key, only the rows with
+    # lsn >= min(incoming lsn) PLUS the single insertion predecessor
+    # (the largest stored lsn below it — for in-order streams that is
+    # exactly the stored current row).  Everything older is closure-
+    # invariant and skipped.  This turns per-batch kernel volume from
+    # O(full history of affected keys) — which at uniformly-hashed CDC
+    # batches is the whole table — into O(batch) for in-order streams,
+    # while staying exact for mid-chain (bi-temporal) late arrivals.
+    min_new = nv.groupBy(key).agg(F.min("lsn").alias("_min_new"))
+    ex_aff = (
+        existing.select(
+            key,
+            "lsn",
+            "op",
+            "valid_from_utc",
+            F.coalesce(F.unix_micros("valid_to_utc"), F.lit(-1)).alias(
+                "_stored_vt_us"
+            ),
+            F.coalesce(F.col("is_current"), F.lit(False)).alias("_stored_ic"),
+        )
+        .join(maybe_bcast(min_new), key, "inner")
+        .persist()
+    )
+    pred = (
+        ex_aff.filter(F.col("lsn") < F.col("_min_new"))
+        .groupBy(key)
+        .agg(F.max("lsn").alias("_pred"))
+    )
+    ex_narrow = (
+        ex_aff.join(maybe_bcast(pred), key, "left")
+        .filter(
+            (F.col("lsn") >= F.col("_min_new"))
+            | F.col("lsn").eqNullSafe(F.col("_pred"))
+        )
+        .drop("_min_new", "_pred")
+        .withColumn("_is_new", F.lit(False))
+    )
     all_narrow = ex_narrow.unionByName(
         nv.select(
             key,
@@ -320,9 +355,13 @@ def apply_history(
     )
     mor = history.merge_on_read
     if mor is not None and mor.get("mode") == "patch":
-        return _apply_history_mor(
-            history, nv, closure, affected, n_docs, batch_id, nparts, plan_out
-        )
+        try:
+            return _apply_history_mor(
+                history, nv, closure, affected, n_docs, batch_id, nparts,
+                plan_out,
+            )
+        finally:
+            ex_aff.unpersist()
 
     # full-width union (duplicates still present), reduced to one row
     # per (key, lsn) on the write's bucket exchange: stored row wins,
@@ -384,13 +423,16 @@ def apply_history(
         # is pinned against the actual executed plan, not the docstring
         plan_out["closed"] = closed
 
-    history.replace_buckets(
-        closed,
-        affected,
-        batch_key=str(batch_id),
-        batch_info={"buckets": sorted(affected)},
-        prepartitioned=True,
-    )
+    try:
+        history.replace_buckets(
+            closed,
+            affected,
+            batch_key=str(batch_id),
+            batch_info={"buckets": sorted(affected)},
+            prepartitioned=True,
+        )
+    finally:
+        ex_aff.unpersist()
     # changed_docs is an HLL estimate (±2%) when derived from the probe
     return {"buckets": sorted(affected), "changed_docs": n_docs}
 
@@ -431,6 +473,12 @@ def _apply_history_mor(
     table rewrite.
     """
     key = history.key_col
+
+    # the closure feeds BOTH writes (new base rows + patch deltas);
+    # without a persist the second write re-executes the entire narrow
+    # scan + kernel DAG — measured as ~2× the history wall.  The frame
+    # is narrow and batch-sized: memory-only cache, freed in `finally`.
+    closure = closure.persist()
 
     # full width, deduped to one row per (key, lsn): first arrival wins
     # (same pick as the kernel), on the write's bucket exchange
@@ -479,14 +527,17 @@ def _apply_history_mor(
     if plan_out is not None:
         plan_out["mor_new_rows"] = new_rows
 
-    history.merge_append(
-        new_rows,
-        patches,
-        buckets=affected,
-        batch_key=str(batch_id),
-        batch_info={"buckets": sorted(affected), "mor": True},
-        prepartitioned=True,
-    )
+    try:
+        history.merge_append(
+            new_rows,
+            patches,
+            buckets=affected,
+            batch_key=str(batch_id),
+            batch_info={"buckets": sorted(affected), "mor": True},
+            prepartitioned=True,
+        )
+    finally:
+        closure.unpersist()
     return {"buckets": sorted(affected), "changed_docs": n_docs}
 
 

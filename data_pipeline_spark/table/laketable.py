@@ -638,16 +638,29 @@ class LakeTable:
         touched = set(int(b) for b in buckets)
         base = self.snapshot
         dseq = base.version + 1
-        new_files = (
-            self._write_data_files(new_rows, prepartitioned=prepartitioned)
-            if new_rows is not None
-            else {}
-        )
-        delta_new = (
-            self._write_delta_files(delta.withColumn(DSEQ_COL, F.lit(dseq)))
-            if delta is not None
-            else {}
-        )
+        # the two materialisations are independent Spark actions against
+        # different lanes — submit them concurrently so driver planning
+        # and cluster execution overlap instead of serialising
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_new = (
+                pool.submit(
+                    self._write_data_files, new_rows, prepartitioned
+                )
+                if new_rows is not None
+                else None
+            )
+            f_delta = (
+                pool.submit(
+                    self._write_delta_files,
+                    delta.withColumn(DSEQ_COL, F.lit(dseq)),
+                )
+                if delta is not None
+                else None
+            )
+            new_files = f_new.result() if f_new is not None else {}
+            delta_new = f_delta.result() if f_delta is not None else {}
         for b in set(new_files) | set(delta_new):
             if b not in touched:
                 self._drop_orphans(new_files)

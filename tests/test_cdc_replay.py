@@ -188,6 +188,51 @@ def test_same_lsn_distinct_payload_tiebreak_is_deterministic(spark, tmp_path):
         assert row.tokens == [7, 7], "last writer by ingest_ts must win"
 
 
+def test_bitemporal_midchain_late_arrival_closure(spark, tmp_path):
+    """C6 pin for the round-4 chain-suffix pruning: a LATE version whose
+    lsn slots mid-chain must re-close its predecessor (which the pruned
+    kernel only sees via the insertion-predecessor row) and itself close
+    at the successor's valid_from.  Exercised across batches so the
+    predecessor is a STORED row patched through the MoR delta lane."""
+    import datetime
+
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA, END_OF_TIME
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"), n_buckets=2, compact_every=0)
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [
+                ("k", 10, "I", [1], 1, None, None, 0, ts(1)),
+                ("k", 30, "U", [3], 1, None, None, 0, ts(3)),
+            ],
+            CHANGE_EVENT_SCHEMA,
+        ),
+        0,
+    )
+    # late mid-chain arrival: lsn 20 lands AFTER lsn 30 was applied
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [("k", 20, "U", [2], 1, None, None, 0, ts(99))], CHANGE_EVENT_SCHEMA
+        ),
+        1,
+    )
+    hist = {
+        r.lsn: (r.valid_to_utc, r.is_current)
+        for r in pipe.history_df().collect()
+    }
+    eot = datetime.datetime.fromisoformat(END_OF_TIME)
+    assert hist == {
+        10: (ts(99) - datetime.timedelta(seconds=1), False),
+        20: (ts(3) - datetime.timedelta(seconds=1), False),
+        30: (eot, True),
+    }
+
+
 def test_as_of_closed_interval_boundary(spark, tmp_path):
     """as_of uses a CLOSED valid_to (>=), diverging from the reference
     macro's strict `>` (time_travel.sql:22-24): with −1 s closure the
