@@ -187,6 +187,16 @@ def run_replay(
             round(ss_rows / ss_wall, 1) if ss_wall else None
         ),
         "compaction_sec_total": compaction_sec,
+        # write amplification: bytes materialised per applied event,
+        # steady-state batches, compaction excluded / included — the
+        # metric where merge-on-read vs copy-on-write actually diverges
+        # (tmpfs walls hide what S3/disk walls would not)
+        "steady_state_bytes_per_event": (
+            round(sum(p.get("bytes_written", 0) for p in ss) / ss_rows, 1)
+            if ss_rows
+            else None
+        ),
+        "bytes_written_total": sum(p.get("bytes_written", 0) for p in ph),
         "final_rows": final_rows,
         # per-batch phase walls (probe / merge / history / dead_letter /
         # lineage / applies / compact / total): the phases whose wall

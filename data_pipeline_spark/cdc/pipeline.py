@@ -303,6 +303,12 @@ class CdcPipeline:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        _tables = [
+            t for t in (self.target, self.history, self.lineage, self.dead_letter)
+            if t is not None
+        ]
+        _bytes0 = sum(getattr(t, "bytes_written_total", 0) for t in _tables)
+
         def _timed(fn):
             def run():
                 s = _time.perf_counter()
@@ -371,6 +377,13 @@ class CdcPipeline:
             _ph["compact"] = round(_time.perf_counter() - _tc, 3)
 
         _ph["total"] = round(_time.perf_counter() - _t0, 3)
+        # write-amplification instrument: bytes materialised this batch
+        # across all four tables (applies + compaction).  O(batch) under
+        # merge-on-read; grows toward a full-table rewrite per batch
+        # under copy-on-write at uniformly-hashed keys.
+        _ph["bytes_written"] = (
+            sum(getattr(t, "bytes_written_total", 0) for t in _tables) - _bytes0
+        )
         self.phase_times.append(_ph)
         # bounded for continuous deployments: a months-long query must
         # not grow driver memory with one dict per trigger

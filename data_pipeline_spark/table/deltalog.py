@@ -142,6 +142,7 @@ class DeltaLogTable:
         self._log_dir = os.path.join(self.path, "_log")
         self._files_dir = os.path.join(self.path, "files")
         self._state: _State | None = None
+        self.bytes_written_total = 0  # write-amplification instrument
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -345,10 +346,9 @@ class DeltaLogTable:
                 if not fname.endswith(".parquet"):
                     continue
                 new_name = f"{uuid.uuid4().hex}.parquet"
-                os.replace(
-                    os.path.join(stage, entry, fname),
-                    os.path.join(self._files_dir, new_name),
-                )
+                src = os.path.join(stage, entry, fname)
+                self.bytes_written_total += os.path.getsize(src)
+                os.replace(src, os.path.join(self._files_dir, new_name))
                 adds.append(
                     {"path": os.path.join("files", new_name), "bucket": b,
                      "lane": lane}

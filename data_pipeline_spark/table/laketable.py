@@ -146,6 +146,12 @@ class LakeTable:
         self._meta_dir = os.path.join(self.path, "metadata")
         self._data_dir = os.path.join(self.path, "data")
         self._snapshot: Snapshot | None = None
+        # cumulative bytes this handle has materialised to storage —
+        # the write-amplification instrument (bench reports per-batch
+        # deltas: merge-on-read stays O(batch), copy-on-write grows
+        # with the table; tmpfs walls hide what object-store walls
+        # would not)
+        self.bytes_written_total = 0
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -442,10 +448,9 @@ class LakeTable:
                 if not fname.endswith(".parquet"):
                     continue
                 new_name = f"{uuid.uuid4().hex}.parquet"
-                os.replace(
-                    os.path.join(stage, entry, fname),
-                    os.path.join(bdir, new_name),
-                )
+                src = os.path.join(stage, entry, fname)
+                self.bytes_written_total += os.path.getsize(src)
+                os.replace(src, os.path.join(bdir, new_name))
                 new_files.setdefault(b, []).append(
                     os.path.join(lane, f"bucket={b}", new_name)
                 )

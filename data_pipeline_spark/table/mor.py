@@ -82,6 +82,15 @@ def delta_schema(schema: StructType, mor: dict) -> StructType:
     )
 
 
+# force-broadcast ceiling for the reduced delta side: Spark's own
+# auto-broadcast cuts off at 10 MB, but a shuffle of the (much larger)
+# base to join a 10-200 MB delta is exactly the wrong trade — the lane
+# is bounded by compaction cadence, so a generous explicit ceiling
+# keeps the read map-side between folds.  (On object storage the bytes
+# would come from commit manifests instead of os.stat.)
+BROADCAST_DELTA_MAX_BYTES = 256 * 1024 * 1024
+
+
 def resolve_deltas(
     spark: SparkSession,
     schema: StructType,
@@ -90,8 +99,19 @@ def resolve_deltas(
     dpaths: list[str],
 ) -> DataFrame:
     """Merge a delta lane into a base scan; returns exactly `schema`."""
+    import os
+
     ids = list(mor["row_id_cols"])
     delta = spark.read.schema(delta_schema(schema, mor)).parquet(*dpaths)
+    try:
+        dbytes = sum(os.path.getsize(p) for p in dpaths)
+    except OSError:
+        dbytes = None
+    bcast = (
+        F.broadcast
+        if dbytes is not None and dbytes < BROADCAST_DELTA_MAX_BYTES
+        else (lambda df: df)
+    )
     if mor["mode"] == "patch":
         pcols = list(mor["patch_cols"])
         latest = (
@@ -107,7 +127,7 @@ def resolve_deltas(
                 F.lit(True).alias("_patched"),
             )
         )
-        return base.join(latest, ids, "left").select(
+        return base.join(bcast(latest), ids, "left").select(
             *[
                 F.when(F.col("_patched"), F.col(f"_patch_{f.name}"))
                 .otherwise(F.col(f.name))
@@ -152,7 +172,7 @@ def resolve_deltas(
         > F.struct(*[F.col(c) for c in ocols])
     )
     merged = (
-        base.join(upd, ids, "left")
+        base.join(bcast(upd), ids, "left")
         .filter(~(newer & (F.col("_u_op") == "D")).eqNullSafe(F.lit(True)))
         .select(
             *[
