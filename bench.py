@@ -291,6 +291,17 @@ def run_skew(n_docs: int = 40_000) -> dict:
     seen: set = set()
     tmp = tempfile.mkdtemp(prefix="bench-skew-")
     try:
+        # warm-up replay (unreported): JVM/codegen warm-up otherwise
+        # lands entirely on the FIRST variant's legs — measured as a
+        # phantom 15× "straggler" (the codegen task) and a 2.7×
+        # throughput skew between identical-shape runs
+        warm_log = os.path.join(tmp, "log-warm")
+        wstats = synth_log(warm_log, dict(REPLAY_CFG, n_docs=4_000, n_files=3))
+        run_replay(
+            spark, warm_log, os.path.join(tmp, "work-warm"),
+            wstats["total_events"], files_per_batch=3, compact_every=0,
+        )
+        _, seen = _stage_straggler(spark, seen)  # drop warm-up stages
         for variant, hot in (("uniform", 1), ("hot_1pct", 500)):
             log_dir = os.path.join(tmp, f"log-{variant}")
             stats = synth_log(
