@@ -272,3 +272,54 @@ def test_deltalog_concurrent_writers_cas(spark, tmp_path):
     # duplicate batch key across writers is skipped
     w2.append(spark.createDataFrame([("a", "x", 1)], TGT), batch_key="a-1")
     assert DeltaLogTable.load(spark, path).read().count() == 2
+
+
+def test_mor_read_resolves_deltas_without_base_shuffle(spark, tmp_path):
+    """Scan-side scale pin: resolving the delta lane must BROADCAST the
+    reduced delta side — the base scan never shuffles at read (the lane
+    is bounded by compaction cadence; a sort-merge join here would
+    re-shuffle the full table on every read)."""
+    import re
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # patch mode
+    t = LakeTable.create(
+        spark, str(tmp_path / "h"), HIST, "doc_id", n_buckets=2,
+        merge_on_read=PATCH_MOR,
+    )
+    t.merge_append(
+        spark.createDataFrame([("a", 1, EOT, True)], HIST), None,
+        buckets=range(2), batch_key="0",
+    )
+    t.merge_append(
+        None,
+        spark.createDataFrame([("a", 1, datetime.datetime(2024, 1, 1), False)], HIST),
+        buckets=range(2), batch_key="1",
+    )
+    p = plan(t.read())
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # the STREAMED side of the join is the bare base scan (":- FileScan"
+    # directly under the join — no exchange, no sort above it); the
+    # delta subtree's own reduce exchange is fine (it is batch-sized)
+    assert re.search(r"BroadcastHashJoin.*?\n\s*:- FileScan parquet", p), p
+
+    # upsert mode
+    u = LakeTable.create(
+        spark, str(tmp_path / "t"), TGT, "doc_id", n_buckets=2,
+        merge_on_read=UPSERT_MOR,
+    )
+    u.merge_append(
+        None, _upsert_delta(spark, [("a", "a1", 1)], False),
+        buckets=range(2), batch_key="0",
+    )
+    u.compact(max_files_per_bucket=0)
+    u.merge_append(
+        None, _upsert_delta(spark, [("a", "a2", 5)], True),
+        buckets=range(2), batch_key="1",
+    )
+    p = plan(u.read())
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
