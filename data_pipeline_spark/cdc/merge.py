@@ -214,14 +214,19 @@ def _merge_into_mor(
     lsn-guarded LWW at scan time (strictly-newer delta replaces/deletes,
     base wins ties); ``compact()`` folds the lane back into base files.
 
-    Per-batch cost: one batch-sized shuffle (the bucket repartition
-    whose exchange the per-(bucket, key) reduce and the delta write
-    both reuse) plus a NARROW key-column scan of the touched buckets
-    to stamp ``_in_base`` (insert-vs-update disambiguation for the
-    shuffle-free broadcast read path) — vs copy-on-write's full-width
-    read+rewrite of every touched bucket.  The late/duplicate no-op
-    guarantee (T4) moves intact from write to read: a stale delta loses
-    the read-time order comparison instead of the write-time one.
+    Per-batch cost: ONE batch-sized shuffle and ONE aggregate — the
+    ``_in_base`` stamp (insert-vs-update disambiguation for the
+    shuffle-free broadcast read path) is FUSED into the merge reduce:
+    the touched buckets' base keys ride the same union → repartition →
+    per-(bucket, key) aggregate as the change rows (a narrow
+    key-column scan, padded to the change shape), so no second
+    exchange and no join stage exist at all.  When the touched
+    buckets have NO base files yet (fresh table, or every prior batch
+    still in the delta lane) even that scan is skipped — every key is
+    trivially not-in-base.  Vs copy-on-write's full-width read+rewrite
+    of every touched bucket.  The late/duplicate no-op guarantee (T4)
+    moves intact from write to read: a stale delta loses the read-time
+    order comparison instead of the write-time one.
     """
     key = table.key_col
     batch_stamp = F.lit(stamp_batch_id(batch_id)).cast("long")
@@ -253,37 +258,57 @@ def _merge_into_mor(
             F.max("lsn").alias("max_lsn"),
             F.sum(F.when(F.col(DOP_COL) == "D", 1).otherwise(0)).alias("deletes"),
         )
+    d_side = d_side.withColumn("_inb", F.lit(False))
 
-    value_cols = [c for c in d_side.columns if c not in (key, BUCKET_COL)]
+    value_cols = [c for c in d_side.columns if c not in (key, BUCKET_COL, "_inb")]
+    # base-key side: a narrow bucket-pruned single-column scan, padded
+    # with null payload so it unions into the reduce.  Skipped entirely
+    # when the buckets' base lists are empty (driver-side manifest
+    # check — upsert targets have no base files until first compaction)
+    combined = d_side
+    base_stats = table.base_file_stats()
+    if any(base_stats.get(int(b)) for b in affected):
+        keys_side = (
+            table.read(buckets=affected, with_deltas=False)
+            .select(key)
+            .withColumn(BUCKET_COL, table.bucket_of(key))
+            .select(
+                F.col(key),
+                F.col(BUCKET_COL),
+                *[
+                    F.lit(None).cast(d_side.schema[c].dataType).alias(c)
+                    for c in value_cols
+                ],
+                F.lit(True).alias("_inb"),
+            )
+        )
+        combined = d_side.unionByName(keys_side)
+
     packed = F.struct(*[F.col(c) for c in value_cols])
-    # within the batch: highest lsn wins, last arrival by ingest_ts
-    # breaks ties — identical to the CoW change-side ordering
-    order_key = F.struct(F.col("lsn").alias("o1"), F.col(DORD_COL).alias("o2"))
+    # change rows outrank base-key marker rows (o0); within the batch:
+    # highest lsn wins, last arrival by ingest_ts breaks ties —
+    # identical to the CoW change-side ordering
+    order_key = F.struct(
+        (~F.col("_inb")).alias("o0"),
+        F.col("lsn").alias("o1"),
+        F.col(DORD_COL).alias("o2"),
+    )
     nparts = shuffle_partitions or max(
         2 * table.n_buckets,
         int(d.sparkSession.conf.get("spark.sql.shuffle.partitions")),
     )
-    reduced = (
-        d_side.repartition(nparts, BUCKET_COL)
+    flagged = (
+        combined.repartition(nparts, BUCKET_COL)
         .groupBy(BUCKET_COL, key)
-        .agg(F.max_by(packed, order_key).alias("_row"))
-        .select(F.col(BUCKET_COL), F.col(key), "_row.*")
+        .agg(
+            F.max_by(packed, order_key).alias("_row"),
+            F.max(F.col("_inb")).alias(DINBASE_COL),
+        )
+        # keys present only in base (no change row) surface a null-op
+        # winner — nothing to write for them
+        .filter(F.col(f"_row.{DOP_COL}").isNotNull())
+        .select(F.col(BUCKET_COL), F.col(key), "_row.*", F.col(DINBASE_COL))
     )
-
-    # _in_base: does the key exist in the base files?  A narrow,
-    # bucket-pruned single-column scan joined on (bucket, key) — the
-    # reduce side reuses its exchange AND its sort-aggregate order, so
-    # only the key column shuffles (see test_plans.py's join-back pin).
-    base_keys = (
-        table.read(buckets=affected, with_deltas=False)
-        .select(key)
-        .withColumn(BUCKET_COL, table.bucket_of(key))
-        .withColumn("_inb", F.lit(True))
-        .repartition(nparts, F.col(BUCKET_COL))
-    )
-    flagged = reduced.join(base_keys, [BUCKET_COL, key], "left").withColumn(
-        DINBASE_COL, F.coalesce(F.col("_inb"), F.lit(False))
-    ).drop("_inb")
 
     table.merge_append(
         None,

@@ -52,6 +52,7 @@ class CdcPipeline:
         collect_metrics: bool = True,
         compact_every: int = 8,
         max_files_per_bucket: int = 8,
+        max_delta_bytes_per_bucket: int = 128 * 1024 * 1024,
         expire_snapshots: bool = False,
         scd2_check_cols: list[str] | None = None,
         lineage_mode: str = "partition",
@@ -65,6 +66,12 @@ class CdcPipeline:
         self.collect_metrics = collect_metrics
         self.compact_every = compact_every
         self.max_files_per_bucket = max_files_per_bucket
+        # lane-SIZE compaction trigger, checked EVERY batch (a manifest
+        # dict sum, no Spark job): a delta lane that outruns the
+        # batch-count cadence — hot buckets, bursty batches, a raised
+        # compact_every — is folded on bytes before its read-side
+        # resolution degrades toward mor.py's forced-broadcast ceiling
+        self.max_delta_bytes_per_bucket = max_delta_bytes_per_bucket
         self.expire_snapshots = expire_snapshots
         # optional check-cols SCD2 (C4): only attr-hash-changed updates
         # open history versions; None = version every distinct lsn
@@ -362,12 +369,32 @@ class CdcPipeline:
 
         # -- 7. maintenance ----------------------------------------
         self._batches_applied += 1
-        if self.compact_every and self._batches_applied % self.compact_every == 0:
+        cadence_due = bool(
+            self.compact_every
+            and self._batches_applied % self.compact_every == 0
+        )
+
+        def _lane_hot(t) -> bool:
+            # manifest-carried byte totals — a dict sum, zero Spark jobs
+            return t is not None and any(
+                nbytes > self.max_delta_bytes_per_bucket
+                for nbytes in t.delta_bytes().values()
+            )
+
+        if cadence_due or _lane_hot(self.target) or _lane_hot(self.history):
             _tc = _time.perf_counter()
-            stats["compacted"] = self.target.compact(self.max_files_per_bucket)
+            stats["compacted"] = self.target.compact(
+                self.max_files_per_bucket
+                if cadence_due
+                else 10**9,  # bytes-triggered run: fold ONLY hot lanes
+                max_delta_bytes_per_bucket=self.max_delta_bytes_per_bucket,
+            )
             if self.history is not None:
-                self.history.compact(self.max_files_per_bucket)
-            if self.expire_snapshots:
+                self.history.compact(
+                    self.max_files_per_bucket if cadence_due else 10**9,
+                    max_delta_bytes_per_bucket=self.max_delta_bytes_per_bucket,
+                )
+            if self.expire_snapshots and cadence_due:
                 self.target.expire_snapshots(keep_last=2)
                 if self.history is not None:
                     self.history.expire_snapshots(keep_last=2)

@@ -288,7 +288,23 @@ def apply_history(
     small = n_docs <= broadcast_max_docs
     maybe_bcast = F.broadcast if small else (lambda df: df)
 
-    existing = history.read(buckets=affected)
+    mor_cfg = history.merge_on_read
+    patch_mor = mor_cfg is not None and mor_cfg.get("mode") == "patch"
+    # Under patch-mode merge-on-read the kernel input can skip the
+    # delta-lane resolution join entirely: patches only ever rewrite
+    # DERIVED columns (valid_to_utc/is_current), and the kernel
+    # recomputes those from the immutable (lsn, valid_from) chain — the
+    # stored values are used solely to filter UNCHANGED rows out of the
+    # delta output.  Reading the un-patched base makes that filter
+    # conservative (a predecessor row whose patch already landed
+    # re-emits an identical-value patch at a higher _dseq — harmless,
+    # folded at the next compaction) and saves a per-batch reduce +
+    # broadcast-exchange of the whole un-folded lane.  check_cols mode
+    # keeps the resolution: its gate reads is_current semantically.
+    existing = history.read(
+        buckets=affected,
+        with_deltas=bool(check_cols) or not patch_mor,
+    )
     if check_cols:
         # pre-gate `affected` stays the bucket superset (a fully-gated
         # bucket is rewritten unchanged — correct, just not pruned)

@@ -53,7 +53,7 @@ from .laketable import (
     _utcnow_iso,
     bucket_expr,
 )
-from .mor import DSEQ_COL, resolve_deltas, validate_mor
+from .mor import resolve_deltas, validate_mor
 
 CHECKPOINT_EVERY = 10
 _PAD = 20
@@ -74,7 +74,13 @@ class _State:
         self.n_buckets = 0
         self.merge_on_read: dict | None = None
         self.files: dict[int, list[str]] = {}
-        self.delta_files: dict[int, list[str]] = {}
+        # delta lane: [path, size_bytes, dseq] — dseq IS the committing
+        # log version (assigned by the exclusive-create that won the
+        # race, so it can never be stale or shared between commits;
+        # Delta's commit-time sequence-number semantics), and size rides
+        # the action so read-side broadcast decisions and the lane-bytes
+        # compaction trigger never stat the filesystem
+        self.delta_files: dict[int, list[list]] = {}
         self.applied_batches: dict[str, Any] = {}
         self.watermarks: dict[str, int] = {}
 
@@ -89,14 +95,20 @@ class _State:
                 self.merge_on_read = m.get("merge_on_read")
             elif "add" in a:
                 d = a["add"]
-                lane = self.delta_files if d["lane"] == "delta" else self.files
-                lane.setdefault(int(d["bucket"]), []).append(d["path"])
+                b = int(d["bucket"])
+                if d["lane"] == "delta":
+                    self.delta_files.setdefault(b, []).append(
+                        [d["path"], d.get("size"), version]
+                    )
+                else:
+                    self.files.setdefault(b, []).append(d["path"])
             elif "remove" in a:
                 p = a["remove"]["path"]
-                for lane in (self.files, self.delta_files):
-                    for fs in lane.values():
-                        if p in fs:
-                            fs.remove(p)
+                for fs in self.files.values():
+                    if p in fs:
+                        fs.remove(p)
+                for fs in self.delta_files.values():
+                    fs[:] = [e for e in fs if e[0] != p]
             elif "txn" in a:
                 self.applied_batches[a["txn"]["key"]] = a["txn"].get("info") or {}
                 _compact_applied_batches(self.applied_batches, self.watermarks)
@@ -185,6 +197,13 @@ class DeltaLogTable:
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "DeltaLogTable":
         tbl = cls(spark, path)
+        if not cls.exists(path):
+            # fail fast like LakeTable.load: replaying an empty/absent
+            # log would hand back a version=-1 schema=None handle whose
+            # first use dies with a confusing AttributeError
+            raise FileNotFoundError(
+                f"no DeltaLogTable at {path} (missing {tbl._log_path(0)})"
+            )
         tbl._state = tbl._replay()
         return tbl
 
@@ -200,11 +219,16 @@ class DeltaLogTable:
     def _log_path(self, v: int) -> str:
         return os.path.join(self._log_dir, f"{v:0{_PAD}d}.json")
 
-    def _latest_checkpoint(self) -> _State | None:
+    def _latest_checkpoint(self, max_version: int | None = None) -> _State | None:
+        """Newest checkpoint, optionally bounded at `max_version` (time
+        travel replays from the newest checkpoint <= the target instead
+        of from v0 — O(tail), not O(version))."""
         best = -1
         for name in os.listdir(self._log_dir):
             if name.startswith("checkpoint-") and name.endswith(".json"):
-                best = max(best, int(name[len("checkpoint-"):-len(".json")]))
+                v = int(name[len("checkpoint-"):-len(".json")])
+                if max_version is None or v <= max_version:
+                    best = max(best, v)
         if best < 0:
             return None
         with open(os.path.join(self._log_dir, f"checkpoint-{best}.json")) as f:
@@ -218,6 +242,15 @@ class DeltaLogTable:
             with open(self._log_path(v)) as f:
                 state.apply_actions(v, json.load(f)["actions"])
             v += 1
+        return state
+
+    def _state_at(self, version: int) -> _State:
+        """State as of log version `version` (Delta VERSION AS OF):
+        newest checkpoint <= version, then the bounded tail."""
+        state = self._latest_checkpoint(max_version=version) or _State()
+        for v in range(state.version + 1, version + 1):
+            with open(self._log_path(v)) as f:
+                state.apply_actions(v, json.load(f)["actions"])
         return state
 
     def refresh(self) -> "DeltaLogTable":
@@ -270,6 +303,18 @@ class DeltaLogTable:
     def delta_stats(self) -> dict[int, int]:
         return {b: len(fs) for b, fs in self.state.delta_files.items() if fs}
 
+    def base_file_stats(self) -> dict[int, int]:
+        return {b: len(fs) for b, fs in self.state.files.items() if fs}
+
+    def delta_bytes(self) -> dict[int, int]:
+        """bucket -> un-folded delta-lane bytes from the add actions
+        (lane-size compaction trigger input; no filesystem stat)."""
+        return {
+            b: sum(int(e[1] or 0) for e in fs)
+            for b, fs in self.state.delta_files.items()
+            if fs
+        }
+
     # ------------------------------------------------------------------
     # read
     # ------------------------------------------------------------------
@@ -280,11 +325,8 @@ class DeltaLogTable:
         with_deltas: bool = True,
     ) -> DataFrame:
         if version is not None:
-            # time travel = replay the log prefix (Delta VERSION AS OF)
-            state = _State()
-            for v in range(0, version + 1):
-                with open(self._log_path(v)) as f:
-                    state.apply_actions(v, json.load(f)["actions"])
+            # time travel: checkpoint-bounded replay (VERSION AS OF)
+            state = self._state_at(version)
         else:
             state = self.state
         sel = set(buckets) if buckets is not None else None
@@ -294,21 +336,38 @@ class DeltaLogTable:
             if sel is None or b in sel
             for rel in fs
         ]
+        dfiles = [
+            (os.path.join(self.path, e[0]), e[1], e[2])
+            for b, fs in state.delta_files.items()
+            if sel is None or b in sel
+            for e in fs
+        ]
+        if version is not None:
+            # a time-travelled state may reference data files a later
+            # vacuum already deleted — fail with a clear error instead
+            # of a mid-job FileNotFoundException (Delta raises the same
+            # way when VERSION AS OF crosses the VACUUM horizon)
+            gone = [
+                p
+                for p in paths + [p for p, _s, _d in dfiles]
+                if not os.path.exists(p)
+            ]
+            if gone:
+                raise FileNotFoundError(
+                    f"time travel to version {version} of {self.path} "
+                    f"references {len(gone)} vacuumed data file(s) "
+                    f"(e.g. {gone[0]}); expire_snapshots already removed "
+                    "that history"
+                )
         base = (
             self.spark.read.schema(state.schema).parquet(*paths)
             if paths
             else self.spark.createDataFrame([], state.schema)
         )
-        dpaths = [
-            os.path.join(self.path, rel)
-            for b, fs in state.delta_files.items()
-            if sel is None or b in sel
-            for rel in fs
-        ]
-        if not dpaths or not with_deltas:
+        if not dfiles or not with_deltas:
             return base
         return resolve_deltas(
-            self.spark, state.schema, state.merge_on_read, base, dpaths
+            self.spark, state.schema, state.merge_on_read, base, dfiles
         )
 
     # ------------------------------------------------------------------
@@ -347,11 +406,12 @@ class DeltaLogTable:
                     continue
                 new_name = f"{uuid.uuid4().hex}.parquet"
                 src = os.path.join(stage, entry, fname)
-                self.bytes_written_total += os.path.getsize(src)
+                size = os.path.getsize(src)
+                self.bytes_written_total += size
                 os.replace(src, os.path.join(self._files_dir, new_name))
                 adds.append(
                     {"path": os.path.join("files", new_name), "bucket": b,
-                     "lane": lane}
+                     "lane": lane, "size": size}
                 )
         shutil.rmtree(stage)
         return adds
@@ -475,7 +535,8 @@ class DeltaLogTable:
                     )
                 removes += [
                     {"remove": {"path": p}}
-                    for p in state.files.get(b, []) + state.delta_files.get(b, [])
+                    for p in state.files.get(b, [])
+                    + [e[0] for e in state.delta_files.get(b, [])]
                 ]
             return removes + [{"add": a} for a in adds]
 
@@ -501,16 +562,17 @@ class DeltaLogTable:
             raise ValueError("merge_append requires a merge_on_read table")
         touched = set(int(b) for b in buckets)
         base = self.state
-        dseq = base.version + 1
+        # no write-time _dseq stamp: the stamp IS the committing log
+        # version — apply_actions assigns it when the winning commit's
+        # add actions replay, so a lost-race retry that lands at a
+        # higher version automatically carries the higher stamp
         adds = (
             self._write_files(new_rows, "data", prepartitioned=prepartitioned)
             if new_rows is not None
             else []
         )
         adds += (
-            self._write_files(delta.withColumn(DSEQ_COL, F.lit(dseq)), "delta")
-            if delta is not None
-            else []
+            self._write_files(delta, "delta") if delta is not None else []
         )
         for a in adds:
             if a["bucket"] not in touched:
@@ -524,15 +586,19 @@ class DeltaLogTable:
             if mor["mode"] == "upsert":
                 for b in touched:
                     planned_d = base.delta_files.get(b, [])
-                    planned_f = base.files.get(b, [])
+                    # ANY base change of a touched bucket — compaction,
+                    # replace, or plain append — invalidates the batch's
+                    # _in_base flags (appended keys would read back
+                    # duplicated); exact equality, not prefix
                     if (
                         state.delta_files.get(b, [])[: len(planned_d)]
                         != planned_d
-                        or state.files.get(b, [])[: len(planned_f)] != planned_f
+                        or state.files.get(b, []) != base.files.get(b, [])
                     ):
                         raise CommitConflict(
                             f"bucket {b} of {self.path} was compacted/"
-                            "rewritten concurrently; _in_base flags are stale"
+                            "rewritten/appended concurrently; _in_base "
+                            "flags are stale"
                         )
             return [{"add": a} for a in adds]
 
@@ -577,33 +643,67 @@ class DeltaLogTable:
         self._commit(build, None, None)
         return True
 
-    def compact(self, max_files_per_bucket: int = 8) -> list[int]:
-        victims = [
+    def compact(
+        self,
+        max_files_per_bucket: int = 8,
+        max_delta_bytes_per_bucket: int | None = None,
+    ) -> list[int]:
+        victims = {
             b for b, n in self.file_stats().items() if n > max_files_per_bucket
-        ]
+        }
+        if max_delta_bytes_per_bucket is not None:
+            victims |= {
+                b
+                for b, nbytes in self.delta_bytes().items()
+                if nbytes > max_delta_bytes_per_bucket
+            }
+        victims = sorted(victims)
         if not victims:
             return []
-        df = self.read(buckets=victims)
-        self.replace_buckets(df, victims, batch_info={"compaction": True})
+        # bucket-pure input partitions (see LakeTable.compact): write
+        # prepartitioned, no full-width shuffle per fold
+        df = self.read(buckets=victims).withColumn(BUCKET_COL, self.bucket_of())
+        self.replace_buckets(
+            df, victims, batch_info={"compaction": True}, prepartitioned=True
+        )
         return victims
 
-    def expire_snapshots(self, keep_last: int = 2) -> int:
-        """Vacuum: delete files no longer referenced by the CURRENT state
-        (removed by compaction/replace).  The action log itself is kept
-        (tiny); keep_last is accepted for protocol parity — the log
-        replay means any prefix state remains reconstructable, but its
-        data files are gone once vacuumed, like Delta VACUUM."""
-        live = {
-            p
-            for lane in (self.state.files, self.state.delta_files)
-            for fs in lane.values()
-            for p in fs
-        }
+    def expire_snapshots(
+        self, keep_last: int = 2, retention_seconds: float = 600.0
+    ) -> int:
+        """Vacuum: delete data files that are (a) unreferenced by the
+        last `keep_last` reconstructable states — time travel within
+        that horizon keeps working, older VERSION AS OF raises the
+        vacuumed-files error in read() — AND (b) older than
+        `retention_seconds` (Delta VACUUM's retention window: writers
+        move files into files/ BEFORE their log commit, so an
+        unreferenced-but-young file may be a concurrent writer's
+        in-flight commit whose add actions land a moment later —
+        deleting it would publish dangling paths).  The action log
+        itself is kept (tiny)."""
+        import time as _time
+
+        cur = self.state.version
+        live: set[str] = set()
+        for v in range(max(0, cur - keep_last + 1), cur + 1):
+            st = self.state if v == cur else self._state_at(v)
+            for fs in st.files.values():
+                live.update(fs)
+            for fs in st.delta_files.values():
+                live.update(e[0] for e in fs)
+        horizon = _time.time() - retention_seconds
         removed = 0
         for fname in os.listdir(self._files_dir):
             if fname.startswith("."):
                 continue
-            if os.path.join("files", fname) not in live:
-                os.remove(os.path.join(self._files_dir, fname))
+            if os.path.join("files", fname) in live:
+                continue
+            full = os.path.join(self._files_dir, fname)
+            try:
+                if os.path.getmtime(full) > horizon:
+                    continue
+                os.remove(full)
                 removed += 1
+            except FileNotFoundError:
+                pass
         return removed

@@ -117,7 +117,16 @@ class TableFormat(Protocol):
     # schema evolution --------------------------------------------------
     def add_columns(self, new_fields) -> bool: ...
 
+    # planning stats (driver-side manifest lookups, no Spark job) --------
+    def base_file_stats(self) -> dict[int, int]: ...
+
+    def delta_bytes(self) -> dict[int, int]: ...
+
     # maintenance -------------------------------------------------------
-    def compact(self, max_files_per_bucket: int = 8) -> list[int]: ...
+    def compact(
+        self,
+        max_files_per_bucket: int = 8,
+        max_delta_bytes_per_bucket: int | None = None,
+    ) -> list[int]: ...
 
     def expire_snapshots(self, keep_last: int = 2) -> int: ...

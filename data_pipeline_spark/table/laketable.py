@@ -124,9 +124,14 @@ class Snapshot:
     # entries may have been compacted away).  Keeps snapshot metadata
     # O(1) in table history instead of one entry per commit forever.
     watermarks: dict[str, int] = field(default_factory=dict)
-    # merge-on-read lane: bucket -> relative delta-file paths, resolved
-    # by read() per `merge_on_read` and folded into base by compact()
-    delta_files: dict[int, list[str]] = field(default_factory=dict)
+    # merge-on-read lane: bucket -> [path, size_bytes, dseq] entries,
+    # resolved by read() per `merge_on_read` and folded into base by
+    # compact().  The size rides the manifest so the read-side broadcast
+    # decision and the lane-bytes compaction trigger never stat the
+    # filesystem (object-storage requirement); dseq is assigned at
+    # COMMIT time inside the retry loop, so two distinct commits can
+    # never share a stamp (Iceberg-v2/Delta sequence-number semantics).
+    delta_files: dict[int, list[list]] = field(default_factory=dict)
     merge_on_read: dict[str, Any] | None = None
 
 
@@ -331,6 +336,23 @@ class LakeTable:
         """bucket -> un-folded delta file count."""
         return {b: len(fs) for b, fs in self.snapshot.delta_files.items()}
 
+    def base_file_stats(self) -> dict[int, int]:
+        """bucket -> BASE file count (planning input: the merge-on-read
+        writers skip the _in_base key scan when a bucket has no base)."""
+        return {b: len(fs) for b, fs in self.snapshot.files.items() if fs}
+
+    def delta_bytes(self) -> dict[int, int]:
+        """bucket -> un-folded delta-lane bytes, straight from the
+        commit manifest (no filesystem stat — object-storage safe).
+        Drives the lane-size compaction trigger: a lane that outruns
+        the batch-count cadence is folded on BYTES before its read-side
+        resolution cost degrades toward the broadcast ceiling."""
+        return {
+            b: sum(int(e[1] or 0) for e in fs)
+            for b, fs in self.snapshot.delta_files.items()
+            if fs
+        }
+
     # ------------------------------------------------------------------
     # read
     # ------------------------------------------------------------------
@@ -365,17 +387,17 @@ class LakeTable:
             base = self.spark.createDataFrame([], snap.schema)
         else:
             base = self.spark.read.schema(snap.schema).parquet(*paths)
-        dpaths = [
-            os.path.join(self.path, rel)
+        dfiles = [
+            (os.path.join(self.path, e[0]), e[1], e[2])
             for b, fs in snap.delta_files.items()
             if sel is None or b in sel
-            for rel in fs
+            for e in fs
         ]
-        if not dpaths or not with_deltas:
+        if not dfiles or not with_deltas:
             return base
-        return self._resolve_deltas(snap, base, dpaths)
+        return self._resolve_deltas(snap, base, dfiles)
 
-    def _resolve_deltas(self, snap: Snapshot, base: DataFrame, dpaths) -> DataFrame:
+    def _resolve_deltas(self, snap: Snapshot, base: DataFrame, dfiles) -> DataFrame:
         """Merge the delta lane into the base scan (Iceberg v2 / Hudi
         MoR read path) — format-independent semantics live in
         :func:`data_pipeline_spark.table.mor.resolve_deltas`."""
@@ -383,7 +405,7 @@ class LakeTable:
             "delta files on a table without merge_on_read"
         )
         return resolve_deltas(
-            self.spark, snap.schema, snap.merge_on_read, base, dpaths
+            self.spark, snap.schema, snap.merge_on_read, base, dfiles
         )
 
     # ------------------------------------------------------------------
@@ -401,61 +423,103 @@ class LakeTable:
         BUCKET_COL and is hash-partitioned by it (e.g. the output of a
         repartition-by-bucket merge), so the write needs no shuffle and
         still produces few files per bucket."""
+        df = self._coerce_data(df, prepartitioned)
+        return {
+            b: [rel for rel, _sz in entries]
+            for b, entries in self._stage_and_move(df, "data").items()
+        }
+
+    def _coerce_data(self, df: DataFrame, prepartitioned: bool) -> DataFrame:
         keep_bucket = prepartitioned and BUCKET_COL in df.columns
         for field in self.schema.fields:
             if field.name not in df.columns:
                 df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
         cols = [F.col(f.name).cast(f.dataType) for f in self.schema.fields]
         if keep_bucket:
-            df = df.select(*cols, F.col(BUCKET_COL))
-        else:
-            df = df.select(*cols).withColumn(BUCKET_COL, self.bucket_of())
-            # repartition by bucket so each bucket's rows coalesce into
-            # few files (one writer task per bucket at sandbox scale; at
-            # 100 TB you'd allow several files per bucket per commit —
-            # still fine, compaction bounds the count).  2× bucket count
-            # partitions so buckets don't hash-collide into a straggler
-            # task (see merge.py).
-            df = df.repartition(2 * self.n_buckets, F.col(BUCKET_COL))
-        return self._stage_and_move(df, "data")
+            return df.select(*cols, F.col(BUCKET_COL))
+        # repartition by bucket so each bucket's rows coalesce into
+        # few files (one writer task per bucket at sandbox scale; at
+        # 100 TB you'd allow several files per bucket per commit —
+        # still fine, compaction bounds the count).  2× bucket count
+        # partitions so buckets don't hash-collide into a straggler
+        # task (see merge.py).
+        df = df.select(*cols).withColumn(BUCKET_COL, self.bucket_of())
+        return df.repartition(2 * self.n_buckets, F.col(BUCKET_COL))
 
-    def _write_delta_files(self, df: DataFrame) -> dict[int, list[str]]:
-        """Materialise a delta frame (already carrying BUCKET_COL and the
-        delta-lane system columns) under delta/bucket=K/.  Delta frames
-        are batch-sized, so no extra repartition is imposed when the
-        caller's frame is already bucket-partitioned."""
+    def _coerce_delta(self, df: DataFrame) -> DataFrame:
+        """Delta frames are batch-sized; no extra repartition is imposed
+        when the caller's frame already carries BUCKET_COL."""
         if BUCKET_COL not in df.columns:
             df = df.withColumn(BUCKET_COL, self.bucket_of())
             df = df.repartition(2 * self.n_buckets, F.col(BUCKET_COL))
-        return self._stage_and_move(df, "delta")
+        return df
 
-    def _stage_and_move(self, df: DataFrame, lane: str) -> dict[int, list[str]]:
+    def _write_delta_files(self, df: DataFrame) -> dict[int, list[list]]:
+        """Materialise a delta frame (already carrying BUCKET_COL and the
+        delta-lane system columns) under delta/bucket=K/; returns
+        bucket -> [rel_path, size_bytes] pairs (``_dseq`` is appended by
+        the commit loop, never written into the file)."""
+        return self._stage_and_move(self._coerce_delta(df), "delta")
+
+    def _stage_and_move(self, df: DataFrame, lane: str) -> dict[int, list[list]]:
         """Write df partitioned by BUCKET_COL into a staging dir, then
         rename the parquet files under <lane>/bucket=K/ (same-filesystem
-        rename, cheap).  Files become visible only via the subsequent
-        metadata publish."""
+        rename, cheap); returns bucket -> [rel_path, size_bytes] pairs.
+        Files become visible only via the subsequent metadata publish."""
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
         df.write.partitionBy(BUCKET_COL).parquet(stage)
-
-        new_files: dict[int, list[str]] = {}
-        for entry in sorted(os.listdir(stage)):
-            if not entry.startswith(f"{BUCKET_COL}="):
-                continue
-            b = int(entry.split("=", 1)[1])
-            bdir = os.path.join(self.path, lane, f"bucket={b}")
-            os.makedirs(bdir, exist_ok=True)
-            for fname in sorted(os.listdir(os.path.join(stage, entry))):
-                if not fname.endswith(".parquet"):
-                    continue
-                new_name = f"{uuid.uuid4().hex}.parquet"
-                src = os.path.join(stage, entry, fname)
-                self.bytes_written_total += os.path.getsize(src)
-                os.replace(src, os.path.join(bdir, new_name))
-                new_files.setdefault(b, []).append(
-                    os.path.join(lane, f"bucket={b}", new_name)
-                )
+        new_files: dict[int, list[list]] = {}
+        for b, src in self._stage_entries(stage, (f"{BUCKET_COL}=",)):
+            rel, size = self._place(src, lane, b)
+            new_files.setdefault(b, []).append([rel, size])
         shutil.rmtree(stage)
         return new_files
+
+    def _stage_dual(
+        self, df: DataFrame
+    ) -> tuple[dict[int, list[str]], dict[int, list[list]]]:
+        """ONE Spark write action for a two-lane merge-on-read commit:
+        df carries ``_lane`` ('data'|'delta') + BUCKET_COL and is written
+        ``partitionBy(_lane, bucket)``.  Union-of-prepartitioned-frames
+        execution concatenates child partitions, so each side keeps its
+        bucket clustering and per-bucket file counts stay as low as two
+        separate writes — minus one whole job round-trip per batch (the
+        per-batch driver constant is what caps N→4N scaling)."""
+        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        df.write.partitionBy("_lane", BUCKET_COL).parquet(stage)
+        data_files: dict[int, list[str]] = {}
+        delta_files: dict[int, list[list]] = {}
+        for lane in ("data", "delta"):
+            lane_stage = os.path.join(stage, f"_lane={lane}")
+            if not os.path.isdir(lane_stage):
+                continue
+            for b, src in self._stage_entries(lane_stage, (f"{BUCKET_COL}=",)):
+                rel, size = self._place(src, lane, b)
+                if lane == "data":
+                    data_files.setdefault(b, []).append(rel)
+                else:
+                    delta_files.setdefault(b, []).append([rel, size])
+        shutil.rmtree(stage)
+        return data_files, delta_files
+
+    @staticmethod
+    def _stage_entries(stage: str, prefixes) -> Iterable[tuple[int, str]]:
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith(prefixes):
+                continue
+            b = int(entry.split("=", 1)[1])
+            for fname in sorted(os.listdir(os.path.join(stage, entry))):
+                if fname.endswith(".parquet"):
+                    yield b, os.path.join(stage, entry, fname)
+
+    def _place(self, src: str, lane: str, b: int) -> tuple[str, int]:
+        bdir = os.path.join(self.path, lane, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        new_name = f"{uuid.uuid4().hex}.parquet"
+        size = os.path.getsize(src)
+        self.bytes_written_total += size
+        os.replace(src, os.path.join(bdir, new_name))
+        return os.path.join(lane, f"bucket={b}", new_name), size
 
     def _commit(
         self,
@@ -489,10 +553,10 @@ class LakeTable:
                 return False
             files, schema, delta_files = apply_fn(snap)
             parent_set = {f for fs in snap.files.values() for f in fs} | {
-                f for fs in snap.delta_files.values() for f in fs
+                e[0] for fs in snap.delta_files.values() for e in fs
             }
             new_set = {f for fs in files.values() for f in fs} | {
-                f for fs in delta_files.values() for f in fs
+                e[0] for fs in delta_files.values() for e in fs
             }
             meta = {
                 "version": snap.version + 1,
@@ -524,11 +588,14 @@ class LakeTable:
             "times — pathological writer contention"
         )
 
-    def _drop_orphans(self, new_files: dict[int, list[str]]) -> None:
+    def _drop_orphans(self, new_files: dict[int, list]) -> None:
         """Remove just-written data files whose commit did not happen
-        (conflict or duplicate-batch skip) — they were never visible."""
+        (conflict or duplicate-batch skip) — they were never visible.
+        Accepts plain relative paths (data lane) or [path, size(, dseq)]
+        entries (delta lane)."""
         for fs in new_files.values():
-            for rel in fs:
+            for entry in fs:
+                rel = entry if isinstance(entry, str) else entry[0]
                 try:
                     os.remove(os.path.join(self.path, rel))
                 except OSError:
@@ -624,15 +691,34 @@ class LakeTable:
         existing is rewritten, so the write volume is O(batch).
 
         `delta` must already carry the mode's system columns (patch:
-        row ids + patch cols; upsert: full row + _op/_ord_ts/_in_base);
-        the commit-order stamp ``_dseq`` is added here.  Written buckets
-        must fall inside `buckets` (the caller's planned touch set).
+        row ids + patch cols; upsert: full row + _op/_ord_ts/_in_base).
+        The commit-order stamp ``_dseq`` is NOT written into the files:
+        it is assigned inside the commit retry loop (``snap.version+1``
+        re-evaluated per attempt, i.e. AFTER winning the version race)
+        and recorded per-file in the snapshot manifest — so a writer
+        that loses the CAS race and retries can never publish a stale
+        stamp, and two distinct commits can never share one (Iceberg
+        v2 / Delta assign sequence numbers at commit time the same
+        way).  Written buckets must fall inside `buckets` (the
+        caller's planned touch set).
 
-        Multi-writer: appends rebase over concurrent appends and
-        manifest commits.  A concurrent COMPACTION of a touched bucket
-        raises CommitConflict for upsert mode (the folded base changes
-        row-id membership, which ``_in_base`` was planned against);
-        patch-mode deltas target rows by id and rebase over compaction
+        When BOTH lanes are present the two frames are written in ONE
+        Spark action (``partitionBy(_lane, bucket)``) — union execution
+        concatenates child partitions, so the prepartitioned data side
+        keeps its bucket clustering and file counts, minus one whole
+        job round-trip per batch.
+
+        Multi-writer: appends rebase over concurrent DELTA appends and
+        manifest commits.  In upsert mode ANY change to a touched
+        bucket's base files — compaction, replace, or a plain
+        ``append()`` — raises CommitConflict: base-file membership is
+        what the batch's ``_in_base`` flags were planned against, and a
+        concurrent append of new keys would make an ``_in_base=False``
+        insert duplicate the appended base row at read.  (Plain
+        ``append()`` onto an upsert merge-on-read table is therefore
+        only safe when no merge_append is in flight; the CDC pipeline
+        never base-appends its upsert target outside compaction.)
+        Patch-mode deltas target rows by id and rebase over compaction
         safely.  Two concurrent writers patching the SAME row id commit
         in an undefined relative order (same as any optimistic lane) —
         the CDC pipeline serialises per-table applies, so its deltas
@@ -642,30 +728,16 @@ class LakeTable:
             raise ValueError("merge_append requires a merge_on_read table")
         touched = set(int(b) for b in buckets)
         base = self.snapshot
-        dseq = base.version + 1
-        # the two materialisations are independent Spark actions against
-        # different lanes — submit them concurrently so driver planning
-        # and cluster execution overlap instead of serialising
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_new = (
-                pool.submit(
-                    self._write_data_files, new_rows, prepartitioned
-                )
-                if new_rows is not None
-                else None
+        if new_rows is not None and delta is not None:
+            new_files, delta_new = self._stage_dual(
+                self._dual_frame(new_rows, delta, prepartitioned)
             )
-            f_delta = (
-                pool.submit(
-                    self._write_delta_files,
-                    delta.withColumn(DSEQ_COL, F.lit(dseq)),
-                )
-                if delta is not None
-                else None
-            )
-            new_files = f_new.result() if f_new is not None else {}
-            delta_new = f_delta.result() if f_delta is not None else {}
+        elif new_rows is not None:
+            new_files = self._write_data_files(new_rows, prepartitioned)
+            delta_new = {}
+        else:
+            new_files = {}
+            delta_new = self._write_delta_files(delta) if delta is not None else {}
         for b in set(new_files) | set(delta_new):
             if b not in touched:
                 self._drop_orphans(new_files)
@@ -680,20 +752,22 @@ class LakeTable:
                     planned = base.delta_files.get(b, [])
                     head = snap.delta_files.get(b, [])
                     if head[: len(planned)] != planned or (
-                        snap.files.get(b, [])[: len(base.files.get(b, []))]
-                        != base.files.get(b, [])
+                        snap.files.get(b, []) != base.files.get(b, [])
                     ):
                         raise CommitConflict(
-                            f"bucket {b} of {self.path} was compacted/rewritten "
-                            f"concurrently (planned at v{base.version}); "
+                            f"bucket {b} of {self.path} was compacted/rewritten/"
+                            f"appended concurrently (planned at v{base.version}); "
                             "_in_base flags are stale — recompute and retry"
                         )
             merged = {b: list(fs) for b, fs in snap.files.items()}
             for b, fs in new_files.items():
                 merged.setdefault(b, []).extend(fs)
             deltas = {b: list(fs) for b, fs in snap.delta_files.items()}
+            dseq = snap.version + 1  # assigned AFTER winning the race
             for b, fs in delta_new.items():
-                deltas.setdefault(b, []).extend(fs)
+                deltas.setdefault(b, []).extend(
+                    [rel, size, dseq] for rel, size in fs
+                )
             return merged, None, deltas
 
         try:
@@ -705,6 +779,41 @@ class LakeTable:
         if not committed:
             self._drop_orphans(new_files)
             self._drop_orphans(delta_new)
+
+    def _dual_frame(
+        self, new_rows: DataFrame, delta: DataFrame, prepartitioned: bool
+    ) -> DataFrame:
+        """Union the two merge_append lanes under one harmonised schema
+        (+ ``_lane`` tag).  Each lane's file keeps a SUPERSET of its
+        read schema — parquet projection by name ignores the extra
+        all-null columns, so the per-lane read paths are unchanged."""
+        d = self._coerce_data(new_rows, prepartitioned)
+        x = self._coerce_delta(delta)
+        extras = [
+            (c, x.schema[c].dataType)
+            for c in x.columns
+            if c != BUCKET_COL and c not in {f.name for f in self.schema.fields}
+        ]
+        d = d.select(
+            *[F.col(f.name) for f in self.schema.fields],
+            *[F.lit(None).cast(t).alias(c) for c, t in extras],
+            F.lit("data").alias("_lane"),
+            F.col(BUCKET_COL),
+        )
+        x = x.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in x.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in self.schema.fields
+            ],
+            *[F.col(c) for c, _t in extras],
+            F.lit("delta").alias("_lane"),
+            F.col(BUCKET_COL),
+        )
+        return d.unionByName(x)
 
     def append_rows(
         self,
@@ -791,19 +900,48 @@ class LakeTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
-    def compact(self, max_files_per_bucket: int = 8) -> list[int]:
+    def compact(
+        self,
+        max_files_per_bucket: int = 8,
+        max_delta_bytes_per_bucket: int | None = None,
+    ) -> list[int]:
         """Rewrite buckets whose small-file count exceeds the threshold
-        (north_rule compaction trigger).  Returns the compacted buckets."""
-        victims = [
+        (north_rule compaction trigger) OR whose un-folded delta lane
+        exceeds `max_delta_bytes_per_bucket` (lane-SIZE trigger: a lane
+        that outruns the batch-count cadence degrades every read toward
+        the forced-broadcast ceiling, so it is folded on bytes too; the
+        bytes come from the commit manifest, no filesystem stat).
+        Returns the compacted buckets."""
+        victims = {
             b for b, n in self.file_stats().items() if n > max_files_per_bucket
-        ]
+        }
+        if max_delta_bytes_per_bucket is not None:
+            victims |= {
+                b
+                for b, nbytes in self.delta_bytes().items()
+                if nbytes > max_delta_bytes_per_bucket
+            }
+        victims = sorted(victims)
         if not victims:
             return []
-        df = self.read(buckets=victims)
-        self.replace_buckets(df, victims, batch_info={"compaction": True})
+        # the resolved read is already bucket-PURE per input partition:
+        # base and delta files live under bucket=K/ and the resolution
+        # joins are map-side (broadcast), so stamping BUCKET_COL and
+        # writing prepartitioned skips a full-width shuffle of every
+        # victim bucket's contents — compaction becomes read + merge +
+        # write with no exchange at all
+        df = self.read(buckets=victims).withColumn(BUCKET_COL, self.bucket_of())
+        self.replace_buckets(
+            df, victims, batch_info={"compaction": True}, prepartitioned=True
+        )
         return victims
 
-    def expire_snapshots(self, keep_last: int = 2, full_scan: bool = False) -> int:
+    def expire_snapshots(
+        self,
+        keep_last: int = 2,
+        full_scan: bool = False,
+        retention_seconds: float = 600.0,
+    ) -> int:
         """Delete data files referenced only by snapshots older than the
         last `keep_last` (Iceberg expire_snapshots analogue). Metadata
         JSONs are kept (tiny); only unreachable parquet is removed.
@@ -819,7 +957,15 @@ class LakeTable:
         full_scan=True keeps the old O(files-on-disk) directory walk —
         for tables written before removed_files existed, or to sweep
         orphans left by a writer that crashed between data write and
-        commit."""
+        commit.  In that mode files younger than `retention_seconds`
+        are SKIPPED (Delta VACUUM's retention window): writers move
+        data files into place BEFORE the metadata commit, so an
+        unreferenced-but-young file may be a concurrent writer's
+        in-flight commit, not garbage.  The manifest-driven default
+        mode needs no window — removed_files only ever lists files a
+        committed snapshot explicitly dropped."""
+        import time as _time
+
         cur = self.current_version()
         marker = os.path.join(self._meta_dir, "EXPIRED")
         try:
@@ -835,7 +981,8 @@ class LakeTable:
                 for fs in s.files.values():
                     live.update(fs)
                 for fs in s.delta_files.values():
-                    live.update(fs)
+                    live.update(e[0] for e in fs)
+            horizon = _time.time() - retention_seconds
             for lane in ("data", "delta"):
                 lane_dir = os.path.join(self.path, lane)
                 if not os.path.isdir(lane_dir):
@@ -845,9 +992,16 @@ class LakeTable:
                     if not os.path.isdir(full_bdir):
                         continue
                     for fname in os.listdir(full_bdir):
-                        if os.path.join(lane, bdir, fname) not in live:
-                            os.remove(os.path.join(full_bdir, fname))
+                        full = os.path.join(full_bdir, fname)
+                        if os.path.join(lane, bdir, fname) in live:
+                            continue
+                        try:
+                            if os.path.getmtime(full) > horizon:
+                                continue  # possibly an in-flight writer's
+                            os.remove(full)
                             removed += 1
+                        except FileNotFoundError:
+                            pass
         else:
             for r in range(done + 1, max(done, cur - keep_last + 1) + 1):
                 with open(os.path.join(self._meta_dir, f"v{r}.json")) as f:

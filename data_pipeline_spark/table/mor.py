@@ -41,6 +41,16 @@ DORD_COL = "_ord_ts"      # upsert mode: arrival tie-break at equal order key
 DINBASE_COL = "_in_base"  # upsert mode: row id existed in base at write
 
 
+def _stat_bytes(os_mod, paths: list[str]) -> int | None:
+    """Fallback for manifests written without sizes (never produced by
+    this engine's writers; kept so a hand-edited manifest degrades to a
+    stat instead of a crash)."""
+    try:
+        return sum(os_mod.path.getsize(p) for p in paths)
+    except OSError:
+        return None
+
+
 def validate_mor(cfg: dict, schema: StructType, key_col: str) -> None:
     mode = cfg.get("mode")
     if mode not in ("patch", "upsert"):
@@ -63,13 +73,21 @@ def validate_mor(cfg: dict, schema: StructType, key_col: str) -> None:
 
 
 def delta_schema(schema: StructType, mor: dict) -> StructType:
-    """On-disk schema of a delta file for the given table schema/mode."""
+    """On-disk schema of a delta file for the given table schema/mode.
+
+    ``_dseq`` is NOT part of the on-disk schema: the commit-order stamp
+    is assigned at COMMIT time (inside the optimistic retry loop, after
+    winning the version race) and carried per-file in the commit
+    manifest — exactly where Iceberg v2 / Delta put sequence numbers.
+    Stamping it into the data file at write time would let a writer
+    that loses the CAS race and retries publish a stale stamp (two
+    commits sharing one ``_dseq`` → nondeterministic patch resolution).
+    :func:`resolve_deltas` re-attaches it at scan time as a literal."""
     by_name = {f.name: f for f in schema.fields}
     if mor["mode"] == "patch":
         return StructType(
             [by_name[c] for c in mor["row_id_cols"]]
             + [by_name[c] for c in mor["patch_cols"]]
-            + [StructField(DSEQ_COL, LongType())]
         )
     return StructType(
         list(schema.fields)
@@ -77,7 +95,6 @@ def delta_schema(schema: StructType, mor: dict) -> StructType:
             StructField(DOP_COL, StringType()),
             StructField(DORD_COL, TimestampType()),
             StructField(DINBASE_COL, BooleanType()),
-            StructField(DSEQ_COL, LongType()),
         ]
     )
 
@@ -85,9 +102,12 @@ def delta_schema(schema: StructType, mor: dict) -> StructType:
 # force-broadcast ceiling for the reduced delta side: Spark's own
 # auto-broadcast cuts off at 10 MB, but a shuffle of the (much larger)
 # base to join a 10-200 MB delta is exactly the wrong trade — the lane
-# is bounded by compaction cadence, so a generous explicit ceiling
-# keeps the read map-side between folds.  (On object storage the bytes
-# would come from commit manifests instead of os.stat.)
+# is bounded by compaction cadence (and by the pipeline's lane-BYTES
+# trigger, which folds the lane long before it could reach this
+# ceiling), so a generous explicit ceiling keeps the read map-side
+# between folds.  The byte count comes from the commit manifest (each
+# delta entry carries its file size), so the decision needs no
+# filesystem stat — the property an object-storage deployment needs.
 BROADCAST_DELTA_MAX_BYTES = 256 * 1024 * 1024
 
 
@@ -96,17 +116,38 @@ def resolve_deltas(
     schema: StructType,
     mor: dict,
     base: DataFrame,
-    dpaths: list[str],
+    dfiles: list[tuple[str, int | None, int]],
 ) -> DataFrame:
-    """Merge a delta lane into a base scan; returns exactly `schema`."""
+    """Merge a delta lane into a base scan; returns exactly `schema`.
+
+    ``dfiles`` is the manifest's delta-entry list: (absolute path,
+    size-in-bytes, commit sequence number).  Files are scanned per
+    ``_dseq`` group (one commit = one group; group count is bounded by
+    the compaction cadence) with the sequence number attached as a
+    literal — the stamp lives in table metadata, never in the file, so
+    an optimistic-commit retry can never publish a stale one."""
     import os
 
     ids = list(mor["row_id_cols"])
-    delta = spark.read.schema(delta_schema(schema, mor)).parquet(*dpaths)
-    try:
-        dbytes = sum(os.path.getsize(p) for p in dpaths)
-    except OSError:
-        dbytes = None
+    dschema = delta_schema(schema, mor)
+    by_seq: dict[int, list[str]] = {}
+    for p, _sz, dseq in dfiles:
+        by_seq.setdefault(int(dseq), []).append(p)
+    groups = [
+        spark.read.schema(dschema)
+        .parquet(*paths)
+        .withColumn(DSEQ_COL, F.lit(dseq))
+        for dseq, paths in sorted(by_seq.items())
+    ]
+    delta = groups[0]
+    for g in groups[1:]:
+        delta = delta.unionByName(g)
+    sizes = [sz for _p, sz, _d in dfiles]
+    dbytes = (
+        sum(sizes)
+        if all(sz is not None for sz in sizes)
+        else _stat_bytes(os, [p for p, _sz, _d in dfiles])
+    )
     bcast = (
         F.broadcast
         if dbytes is not None and dbytes < BROADCAST_DELTA_MAX_BYTES

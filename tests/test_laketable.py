@@ -392,7 +392,16 @@ def test_expire_snapshots_removed_files_delta(spark, tmp_path):
     with open(orphan, "wb") as f:
         f.write(b"junk")
     assert t.expire_snapshots(keep_last=2) == 0
-    assert t.expire_snapshots(keep_last=2, full_scan=True) == 1
+    # full_scan's retention window protects young unreferenced files (a
+    # concurrent writer stages data files BEFORE its commit — sweeping
+    # them would publish dangling paths)…
+    assert t.expire_snapshots(keep_last=2, full_scan=True) == 0
+    assert os.path.exists(orphan)
+    # …and sweeps them once aged past the window
+    assert (
+        t.expire_snapshots(keep_last=2, full_scan=True, retention_seconds=0)
+        == 1
+    )
     assert not os.path.exists(orphan)
 
 
