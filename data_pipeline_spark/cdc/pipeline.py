@@ -374,30 +374,56 @@ class CdcPipeline:
             and self._batches_applied % self.compact_every == 0
         )
 
-        def _lane_hot(t) -> bool:
+        def _hot_buckets(t) -> list[int]:
             # manifest-carried byte totals — a dict sum, zero Spark jobs
-            return t is not None and any(
-                nbytes > self.max_delta_bytes_per_bucket
-                for nbytes in t.delta_bytes().values()
-            )
+            if t is None:
+                return []
+            return [
+                b
+                for b, nbytes in t.delta_bytes().items()
+                if nbytes > self.max_delta_bytes_per_bucket
+            ]
 
-        if cadence_due or _lane_hot(self.target) or _lane_hot(self.history):
+        hot = [
+            (t, bs)
+            for t in (self.target, self.history)
+            for bs in [_hot_buckets(t)]
+            if bs
+        ]
+        if cadence_due or hot:
             _tc = _time.perf_counter()
-            stats["compacted"] = self.target.compact(
-                self.max_files_per_bucket
-                if cadence_due
-                else 10**9,  # bytes-triggered run: fold ONLY hot lanes
-                max_delta_bytes_per_bucket=self.max_delta_bytes_per_bucket,
-            )
-            if self.history is not None:
-                self.history.compact(
-                    self.max_files_per_bucket if cadence_due else 10**9,
+            if hot and not cadence_due:
+                # lane-BYTES trigger between cadences: try the O(lane)
+                # MINOR fold first (hot keys collapse to one survivor
+                # per id, no base rewrite); escalate to a full bucket
+                # rewrite only for buckets still over the threshold —
+                # i.e. lanes of genuinely distinct keys
+                for t, bs in hot:
+                    t.fold_delta_lane(buckets=bs)
+                    still = _hot_buckets(t)
+                    if still:
+                        t.compact(
+                            10**9,
+                            max_delta_bytes_per_bucket=(
+                                self.max_delta_bytes_per_bucket
+                            ),
+                        )
+            if cadence_due:
+                stats["compacted"] = self.target.compact(
+                    self.max_files_per_bucket,
                     max_delta_bytes_per_bucket=self.max_delta_bytes_per_bucket,
                 )
-            if self.expire_snapshots and cadence_due:
-                self.target.expire_snapshots(keep_last=2)
                 if self.history is not None:
-                    self.history.expire_snapshots(keep_last=2)
+                    self.history.compact(
+                        self.max_files_per_bucket,
+                        max_delta_bytes_per_bucket=(
+                            self.max_delta_bytes_per_bucket
+                        ),
+                    )
+                if self.expire_snapshots:
+                    self.target.expire_snapshots(keep_last=2)
+                    if self.history is not None:
+                        self.history.expire_snapshots(keep_last=2)
             # compaction wall is reported separately: it is the MoR
             # lane's amortized rewrite cost, paid every compact_every
             # batches instead of every batch (BENCH.md steady-state)

@@ -97,8 +97,11 @@ class _State:
                 d = a["add"]
                 b = int(d["bucket"])
                 if d["lane"] == "delta":
+                    # dseq defaults to the committing version; a delta
+                    # FOLD overrides it with the max folded stamp so
+                    # ties against later commits keep true commit order
                     self.delta_files.setdefault(b, []).append(
-                        [d["path"], d.get("size"), version]
+                        [d["path"], d.get("size"), d.get("dseq", version)]
                     )
                 else:
                     self.files.setdefault(b, []).append(d["path"])
@@ -346,7 +349,12 @@ class DeltaLogTable:
             # a time-travelled state may reference data files a later
             # vacuum already deleted — fail with a clear error instead
             # of a mid-job FileNotFoundException (Delta raises the same
-            # way when VERSION AS OF crosses the VACUUM horizon)
+            # way when VERSION AS OF crosses the VACUUM horizon).
+            # Driver-side existence probe is O(files of that snapshot);
+            # an object-storage deployment would instead persist the
+            # vacuum horizon (last vacuumed version) in the log and
+            # compare versions — kept simple here because time travel
+            # is an operator tool, not a hot path
             gone = [
                 p
                 for p in paths + [p for p, _s, _d in dfiles]
@@ -666,6 +674,73 @@ class DeltaLogTable:
         self.replace_buckets(
             df, victims, batch_info={"compaction": True}, prepartitioned=True
         )
+        return victims
+
+    def fold_delta_lane(
+        self, buckets: Iterable[int] | None = None, min_files: int = 2
+    ) -> list[int]:
+        """Minor compaction over the action log — same semantics as
+        :meth:`LakeTable.fold_delta_lane` (remove actions for the
+        folded adds, one new add per bucket carrying an explicit
+        ``dseq`` = max folded stamp)."""
+        mor = self.merge_on_read
+        if mor is None:
+            return []
+        base = self.state
+        sel = set(int(b) for b in buckets) if buckets is not None else None
+        victims = sorted(
+            b
+            for b, fs in base.delta_files.items()
+            if len(fs) >= min_files and (sel is None or b in sel)
+        )
+        if not victims:
+            return []
+        from .mor import fold_survivors, read_delta_lane
+
+        dfiles = [
+            (os.path.join(self.path, e[0]), e[1], e[2])
+            for b in victims
+            for e in base.delta_files[b]
+        ]
+        folded = fold_survivors(
+            read_delta_lane(self.spark, base.schema, mor, dfiles), mor
+        )
+        folded = folded.withColumn(
+            BUCKET_COL, self.bucket_of(mor["row_id_cols"][0])
+        ).repartition(max(1, len(victims)), F.col(BUCKET_COL))
+        adds = self._write_files(folded, "delta")
+        for a in adds:
+            if a["bucket"] not in set(victims):
+                self._drop_orphans(adds)
+                raise ValueError(
+                    f"fold produced rows for non-victim bucket {a['bucket']}"
+                )
+        maxd = {b: max(e[2] for e in base.delta_files[b]) for b in victims}
+        for a in adds:
+            a["dseq"] = maxd[a["bucket"]]
+
+        def build(state: _State) -> list[dict]:
+            actions = []
+            for b in victims:
+                planned = base.delta_files.get(b, [])
+                if state.delta_files.get(b, [])[: len(planned)] != planned or (
+                    mor["mode"] == "upsert"
+                    and state.files.get(b, []) != base.files.get(b, [])
+                ):
+                    raise CommitConflict(
+                        f"bucket {b} of {self.path} changed concurrently; "
+                        "delta fold is stale — refresh and retry"
+                    )
+                actions += [{"remove": {"path": e[0]}} for e in planned]
+            return actions + [{"add": a} for a in adds]
+
+        try:
+            committed = self._commit(build, None, None)
+        except Exception:
+            self._drop_orphans(adds)
+            raise
+        if not committed:
+            self._drop_orphans(adds)
         return victims
 
     def expire_snapshots(

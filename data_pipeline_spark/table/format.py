@@ -32,6 +32,9 @@ record_batch       snapshot summary properties on an empty commit
 has_batch          scan snapshot summaries / a watermark table
 add_columns        ``ALTER TABLE name ADD COLUMNS (...)``
 compact            ``CALL catalog.system.rewrite_data_files(name)``
+fold_delta_lane    minor compaction: ``rewrite_position_delete_files``
+                   (Iceberg) / log compaction (Hudi) — collapse the
+                   delta lane without rewriting base files
 expire_snapshots   ``CALL catalog.system.expire_snapshots(name)``
 =================  =====================================================
 
@@ -127,6 +130,12 @@ class TableFormat(Protocol):
         self,
         max_files_per_bucket: int = 8,
         max_delta_bytes_per_bucket: int | None = None,
+    ) -> list[int]: ...
+
+    def fold_delta_lane(
+        self,
+        buckets: Iterable[int] | None = None,
+        min_files: int = 2,
     ) -> list[int]: ...
 
     def expire_snapshots(self, keep_last: int = 2) -> int: ...

@@ -82,6 +82,8 @@ from .mor import (  # noqa: F401 — system cols re-exported for writers
     DOP_COL,
     DORD_COL,
     DSEQ_COL,
+    fold_survivors,
+    read_delta_lane,
     resolve_deltas,
     validate_mor,
 )
@@ -934,6 +936,80 @@ class LakeTable:
         self.replace_buckets(
             df, victims, batch_info={"compaction": True}, prepartitioned=True
         )
+        return victims
+
+    def fold_delta_lane(
+        self, buckets: Iterable[int] | None = None, min_files: int = 2
+    ) -> list[int]:
+        """MINOR compaction: collapse each victim bucket's delta files
+        into ONE survivor file per bucket WITHOUT rewriting any base
+        file — O(lane) instead of compact()'s O(bucket contents).  The
+        row surviving per id is exactly what read() would resolve
+        (kernel: :func:`~.mor.fold_survivors`); upsert tombstones of
+        never-based rows are dropped outright.  The folded entry's
+        manifest ``_dseq`` is the MAX of the folded commits' stamps, so
+        earliest-commit-wins ties against delta commits appended AFTER
+        this fold was planned still resolve in true commit order —
+        only possible because the stamp lives in the manifest, not the
+        files.  Concurrent delta appends REBASE (planned prefix
+        replaced, tail kept); a concurrent base change of a victim
+        bucket conflicts in upsert mode (same rule as merge_append).
+        Returns the folded buckets."""
+        mor = self.merge_on_read
+        if mor is None:
+            return []
+        base = self.snapshot
+        sel = set(int(b) for b in buckets) if buckets is not None else None
+        victims = sorted(
+            b
+            for b, fs in base.delta_files.items()
+            if len(fs) >= min_files and (sel is None or b in sel)
+        )
+        if not victims:
+            return []
+        dfiles = [
+            (os.path.join(self.path, e[0]), e[1], e[2])
+            for b in victims
+            for e in base.delta_files[b]
+        ]
+        folded = fold_survivors(
+            read_delta_lane(self.spark, base.schema, mor, dfiles), mor
+        )
+        folded = folded.withColumn(
+            BUCKET_COL, self.bucket_of(mor["row_id_cols"][0])
+        ).repartition(max(1, len(victims)), F.col(BUCKET_COL))
+        new = self._write_delta_files(folded)
+        for b in new:
+            if b not in set(victims):
+                self._drop_orphans(new)
+                raise ValueError(f"fold produced rows for non-victim bucket {b}")
+        maxd = {b: max(e[2] for e in base.delta_files[b]) for b in victims}
+
+        def apply(snap: Snapshot):
+            deltas = {b: list(fs) for b, fs in snap.delta_files.items()}
+            for b in victims:
+                planned = base.delta_files.get(b, [])
+                head = deltas.get(b, [])
+                if head[: len(planned)] != planned or (
+                    mor["mode"] == "upsert"
+                    and snap.files.get(b, []) != base.files.get(b, [])
+                ):
+                    raise CommitConflict(
+                        f"bucket {b} of {self.path} changed concurrently; "
+                        "delta fold is stale — refresh and retry"
+                    )
+                deltas[b] = [
+                    [rel, size, maxd[b]] for rel, size in new.get(b, [])
+                ] + head[len(planned):]
+            return dict(snap.files), None, deltas
+
+        try:
+            committed = self._commit(apply, None, {"delta_fold": True})
+        except Exception:
+            self._drop_orphans(new)
+            raise
+        if not committed:
+            self._drop_orphans(new)
         return victims
 
     def expire_snapshots(

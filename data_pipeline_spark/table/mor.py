@@ -111,6 +111,79 @@ def delta_schema(schema: StructType, mor: dict) -> StructType:
 BROADCAST_DELTA_MAX_BYTES = 256 * 1024 * 1024
 
 
+def read_delta_lane(
+    spark: SparkSession,
+    schema: StructType,
+    mor: dict,
+    dfiles: list[tuple[str, int | None, int]],
+) -> DataFrame:
+    """Scan a delta lane with its manifest ``_dseq`` attached: one scan
+    per commit group (group count bounded by the compaction cadence),
+    the stamp as a literal column."""
+    dschema = delta_schema(schema, mor)
+    by_seq: dict[int, list[str]] = {}
+    for p, _sz, dseq in dfiles:
+        by_seq.setdefault(int(dseq), []).append(p)
+    groups = [
+        spark.read.schema(dschema)
+        .parquet(*paths)
+        .withColumn(DSEQ_COL, F.lit(dseq))
+        for dseq, paths in sorted(by_seq.items())
+    ]
+    delta = groups[0]
+    for g in groups[1:]:
+        delta = delta.unionByName(g)
+    return delta
+
+
+def fold_survivors(delta: DataFrame, mor: dict) -> DataFrame:
+    """Minor (delta-lane) compaction kernel: reduce a lane scan (from
+    :func:`read_delta_lane`) to ONE surviving row per row id — the
+    exact row :func:`resolve_deltas` would pick — WITHOUT touching the
+    base (Hudi log-compaction / Iceberg delete-file-compaction
+    analogue).  Cost is O(lane), not O(table): the right maintenance
+    for hot keys and bursty lanes at 100 TB, where a full bucket
+    rewrite per fold is the expensive path.
+
+    Correctness requires the folded file's manifest ``_dseq`` to be the
+    MAX of the folded commits' stamps (the caller's job): upsert-mode
+    ties against commits appended AFTER the fold was planned resolve
+    earliest-commit-wins, and the folded rows ARE the earlier commits.
+    Intra-lane ties are resolved here using the original per-commit
+    stamps.  Upsert tombstones for rows that were never in base are
+    dropped outright (they mask nothing and ``resolve_deltas`` ignores
+    them).  ``_in_base`` flags are preserved verbatim, so the fold is
+    only valid while the base files are unchanged — the committing
+    table enforces that (same conflict rule as merge_append)."""
+    ids = list(mor["row_id_cols"])
+    if mor["mode"] == "patch":
+        pcols = list(mor["patch_cols"])
+        return (
+            delta.groupBy(*ids)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in pcols]), F.col(DSEQ_COL)
+                ).alias("_p")
+            )
+            .select(*ids, *[F.col(f"_p.{c}").alias(c) for c in pcols])
+        )
+    ocols = list(mor["order_cols"])
+    pick = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(ocols)],
+        (-F.col(DSEQ_COL)).alias("oseq"),
+        F.col(DORD_COL).alias("ots"),
+    )
+    payload = F.struct(
+        *[F.col(c) for c in delta.columns if c not in ids and c != DSEQ_COL]
+    )
+    return (
+        delta.groupBy(*ids)
+        .agg(F.max_by(payload, pick).alias("_row"))
+        .select(*ids, "_row.*")
+        .filter(F.col(DINBASE_COL) | (F.col(DOP_COL) != "D"))
+    )
+
+
 def resolve_deltas(
     spark: SparkSession,
     schema: StructType,
@@ -129,19 +202,7 @@ def resolve_deltas(
     import os
 
     ids = list(mor["row_id_cols"])
-    dschema = delta_schema(schema, mor)
-    by_seq: dict[int, list[str]] = {}
-    for p, _sz, dseq in dfiles:
-        by_seq.setdefault(int(dseq), []).append(p)
-    groups = [
-        spark.read.schema(dschema)
-        .parquet(*paths)
-        .withColumn(DSEQ_COL, F.lit(dseq))
-        for dseq, paths in sorted(by_seq.items())
-    ]
-    delta = groups[0]
-    for g in groups[1:]:
-        delta = delta.unionByName(g)
+    delta = read_delta_lane(spark, schema, mor, dfiles)
     sizes = [sz for _p, sz, _d in dfiles]
     dbytes = (
         sum(sizes)

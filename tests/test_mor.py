@@ -508,3 +508,100 @@ def test_deltalog_time_travel_uses_checkpoint_and_guards_vacuum(spark, tmp_path)
         t.read(version=pre_compact)
     # head still reads fine
     assert t.read().count() == 13
+
+
+@pytest.mark.parametrize("fmt", ["lake", "delta"])
+def test_fold_delta_lane_upsert_semantics_and_tie_order(spark, tmp_path, fmt):
+    """Minor (delta-lane) compaction: N delta files per bucket collapse
+    to ONE survivor file per bucket WITHOUT touching base — and the
+    folded file's manifest _dseq is the MAX of the folded stamps, so
+    earliest-commit-wins ties against commits appended AFTER the fold
+    still resolve in true commit order."""
+    cls = FORMATS[fmt]
+    u = cls.create(
+        spark, str(tmp_path / "t"), TGT, "doc_id", n_buckets=1,
+        merge_on_read=UPSERT_MOR,
+    )
+    u.merge_append(
+        None, _upsert_delta(spark, [("a", "a1", 1), ("c", "c1", 2)], False),
+        buckets=[0], batch_key="0",
+    )
+    u.merge_append(
+        None, _upsert_delta(spark, [("a", "a2", 5), ("d", None, 1)], False),
+        buckets=[0], batch_key="1",
+    )
+    # intra-lane equal order key: earlier commit must keep winning
+    u.merge_append(
+        None, _upsert_delta(spark, [("c", "c-later", 2)], False),
+        buckets=[0], batch_key="2",
+    )
+    before = {r.doc_id: (r.v, r.lsn) for r in u.read().collect()}
+    assert before == {"a": ("a2", 5), "c": ("c1", 2)}
+    assert u.delta_stats()[0] == 3
+    assert u.fold_delta_lane() == [0]
+    assert u.delta_stats()[0] == 1  # one survivor file; base untouched
+    assert not u.base_file_stats()
+    assert {r.doc_id: (r.v, r.lsn) for r in u.read().collect()} == before
+    # post-fold commit at the same order key: the folded row is the
+    # EARLIER commit and must still win the tie
+    u.merge_append(
+        None, _upsert_delta(spark, [("c", "c-after-fold", 2)], False),
+        buckets=[0], batch_key="3",
+    )
+    assert {r.doc_id: r.v for r in u.read().collect()}["c"] == "c1"
+    # dead tombstone (d: never in base) was dropped by the fold
+    assert u.read().filter("doc_id = 'd'").count() == 0
+
+
+@pytest.mark.parametrize("fmt", ["lake", "delta"])
+def test_fold_delta_lane_patch_mode(spark, tmp_path, fmt):
+    cls = FORMATS[fmt]
+    t = cls.create(
+        spark, str(tmp_path / "h"), HIST, "doc_id", n_buckets=1,
+        merge_on_read=PATCH_MOR,
+    )
+    t.merge_append(
+        spark.createDataFrame([("a", 1, EOT, True)], HIST), None,
+        buckets=[0], batch_key="0",
+    )
+    for i in range(3):
+        t.merge_append(
+            None,
+            spark.createDataFrame(
+                [("a", 1, datetime.datetime(2024, 1, 1 + i), False)], HIST
+            ),
+            buckets=[0], batch_key=str(i + 1),
+        )
+    assert t.delta_stats()[0] == 3
+    assert t.fold_delta_lane() == [0]
+    assert t.delta_stats()[0] == 1
+    (row,) = t.read().filter("lsn = 1").collect()
+    assert row.valid_to_utc == datetime.datetime(2024, 1, 3)  # latest patch
+
+
+def test_pipeline_lane_bytes_trigger_minor_folds_then_escalates(spark, tmp_path):
+    """Pipeline policy: a lane over max_delta_bytes_per_bucket between
+    compaction cadences is MINOR-folded first (O(lane)); buckets still
+    hot after the fold escalate to a full rewrite."""
+    import pyspark.sql.functions as SF
+
+    from data_pipeline_spark.cdc.pipeline import CdcPipeline
+    from data_pipeline_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"), n_buckets=2, compact_every=0,
+        max_delta_bytes_per_bucket=1,  # everything is hot
+        enable_history=False, collect_metrics=False,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).withColumn(
+        "ingest_ts", SF.current_timestamp()
+    )
+    pipe.apply_batch(
+        mk([(f"d{i}", i, "I", [1, i], 2, None, None, 0, None) for i in range(20)]), 0
+    )
+    # hot lane: fold ran, then escalation compacted (threshold 1 byte
+    # stays exceeded by any survivor file) — lane must be empty
+    assert not pipe.target.delta_stats()
+    assert {r.doc_id for r in pipe.target.read().select("doc_id").collect()} == {
+        f"d{i}" for i in range(20)
+    }
